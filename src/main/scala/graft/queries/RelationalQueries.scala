@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryDef.table
+
+/** The generic relational operator surface (SURVEY.md §2 inventory + §2.5's
+  * "available built-in" extensions), each with a DuckDB oracle. Everything
+  * here is stock `org.apache.spark.sql` — declarative plans that Catalyst
+  * pushes down / prunes / reorders; no custom physical code (SURVEY.md §4).
+  *
+  * Doubles are rounded identically on both sides: float aggregation order
+  * differs between engines, so raw sums are not hash-stable.
+  */
+object RelationalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A1+A3: hash aggregation, the 5 base agg functions (one shuffle,
+    // partial+final HashAggregate).
+    QueryDef("q1_agg",
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(min(col("l_discount")), 6).as("min_disc"),
+          round(max(col("l_tax")), 6).as("max_tax"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             | round(sum(l_quantity), 2) AS sum_qty,
+             | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             | round(avg(l_extendedprice), 4) AS avg_price,
+             | round(min(l_discount), 6) AS min_disc,
+             | round(max(l_tax), 6) AS max_tax,
+             | count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // P1+P2+P7: conjunctive filter + narrow projection (pushed to the
+    // parquet scan: PushedFilters + 3-column ReadSchema).
+    QueryDef("q2_filter_project",
+      (s, dir) => table(s, dir, "lineitem")
+        .filter(col("l_quantity") > lit(45.0) && col("l_returnflag") === lit("R")
+          && col("l_discount") <= lit(0.02))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity > 45.0 AND l_returnflag = 'R' AND l_discount <= 0.02""".stripMargin)),
+
+    // J1/A1: inner equi-join + aggregation (orders x customer); customer is
+    // the small build side — Catalyst broadcasts it under AQE.
+    QueryDef("q3_join_agg",
+      (s, dir) => table(s, dir, "orders")
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 2).as("segment_value"),
+          count(lit(1)).as("n_orders")),
+      Some("""SELECT c_mktsegment, round(sum(o_totalprice), 2) AS segment_value,
+             | count(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    // Multi-way join across the star schema (lineitem-orders-customer-
+    // nation-region), dims broadcast; the TPC-H-style join-reorder case.
+    QueryDef("q4_star_join",
+      (s, dir) => table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(table(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(table(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT r_name, n_name,
+             | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             | count(*) AS n_items
+             |FROM lineitem
+             | JOIN orders ON l_orderkey = o_orderkey
+             | JOIN customer ON o_custkey = c_custkey
+             | JOIN nation ON c_nationkey = n_nationkey
+             | JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name""".stripMargin)),
+
+    // A4: conditional (filtered) aggregation — the reference's workhorse
+    // (SURVEY.md §2.3 A4): NULL-skipping avg/min/max, zero-filled count/sum.
+    QueryDef("q5_conditional_agg",
+      (s, dir) => table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", lit(1L)).otherwise(lit(0L))).as("n_finished"),
+          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))), 2).as("finished_value"),
+          round(avg(when(col("o_orderstatus") === "O", col("o_totalprice"))), 4).as("open_avg"),
+          round(max(when(col("o_orderstatus") === "P", col("o_totalprice"))), 2).as("pending_max")),
+      Some("""SELECT o_orderpriority,
+             | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+             | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS finished_value,
+             | round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS open_avg,
+             | round(max(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS pending_max
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // P3: ordered CASE WHEN bucketing (the pivot family's window
+    // assignment) + multi-key group-by (A2).
+    QueryDef("q6_bucket",
+      (s, dir) => table(s, dir, "lineitem")
+        .withColumn("qty_bucket",
+          when(col("l_quantity") <= 10, "small")
+            .when(col("l_quantity") <= 25, "medium")
+            .when(col("l_quantity") <= 40, "large")
+            .otherwise("jumbo"))
+        .groupBy(col("qty_bucket"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice")), 2).as("bucket_value")),
+      Some("""SELECT CASE WHEN l_quantity <= 10 THEN 'small'
+             |  WHEN l_quantity <= 25 THEN 'medium'
+             |  WHEN l_quantity <= 40 THEN 'large'
+             |  ELSE 'jumbo' END AS qty_bucket,
+             | l_returnflag, count(*) AS n_rows,
+             | round(sum(l_extendedprice), 2) AS bucket_value
+             |FROM lineitem GROUP BY 1, 2""".stripMargin)),
+
+    // A5: pivot with known values (skips the distinct-values scan,
+    // SURVEY.md §4) — oracle expressed as conditional aggs with matching
+    // column names.
+    QueryDef("q7_pivot",
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot(col("l_returnflag"), Seq("A", "N", "R"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"), count(lit(1)).as("n"))
+        .select(col("l_linestatus"), col("A_qty"), col("A_n"),
+          col("N_qty"), col("N_n"), col("R_qty"), col("R_n")),
+      Some("""SELECT l_linestatus,
+             | round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A_qty,
+             | count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS A_n,
+             | round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N_qty,
+             | count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS N_n,
+             | round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R_qty,
+             | count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS R_n
+             |FROM lineitem GROUP BY l_linestatus""".stripMargin)),
+
+    // Window functions over a partitioned sort (generic surface beyond the
+    // reference, SURVEY.md §2.5): top order per customer by price.
+    QueryDef("q8_window",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        table(s, dir, "orders")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("o_custkey"), col("o_orderkey").as("top_order"),
+            round(col("o_totalprice"), 2).as("top_price"))
+      },
+      Some("""SELECT o_custkey, o_orderkey AS top_order,
+             | round(o_totalprice, 2) AS top_price
+             |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+             |   ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders)
+             |WHERE rnk = 1""".stripMargin)),
+
+    // Sort + limit (top-k); total order pinned by a unique tiebreaker so
+    // the limit is deterministic across engines.
+    QueryDef("q9_topk",
+      (s, dir) => table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price")),
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // Set operations: customers with orders minus customers with an open
+    // order, plus intersect/union legs folded into one result.
+    QueryDef("q10_setops",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+        val both = f.intersect(p).withColumn("kind", lit("both"))
+        val fOnly = f.except(p).withColumn("kind", lit("f_only"))
+        both.union(fOnly).groupBy(col("kind")).agg(count(lit(1)).as("n_cust"))
+      },
+      Some("""WITH cf AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+             | cp AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'),
+             | cboth AS (SELECT o_custkey, 'both' AS kind FROM (SELECT * FROM cf INTERSECT SELECT * FROM cp)),
+             | conly AS (SELECT o_custkey, 'f_only' AS kind FROM (SELECT * FROM cf EXCEPT SELECT * FROM cp))
+             |SELECT kind, count(*) AS n_cust FROM (SELECT * FROM cboth UNION ALL SELECT * FROM conly)
+             |GROUP BY kind""".stripMargin)),
+
+    // Left outer join with null handling + distinct.
+    QueryDef("q11_left_join",
+      (s, dir) => table(s, dir, "customer")
+        .join(table(s, dir, "orders").filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_custkey")).as("n_cust"),
+          count(col("o_orderkey")).as("n_big_orders")),
+      Some("""SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_cust,
+             | count(o_orderkey) AS n_big_orders
+             |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0)
+             | ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    // Semi/anti joins (EXISTS / NOT EXISTS).
+    QueryDef("q12_semi_anti",
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders").filter(col("o_orderstatus") === "P")
+        val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .withColumn("kind", lit("has_pending"))
+        val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .withColumn("kind", lit("no_pending"))
+        semi.union(anti).groupBy(col("kind")).agg(count(lit(1)).as("n_cust"))
+      },
+      Some("""SELECT kind, count(*) AS n_cust FROM (
+             | SELECT 'has_pending' AS kind FROM customer
+             |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+             | UNION ALL
+             | SELECT 'no_pending' AS kind FROM customer
+             |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P'))
+             |GROUP BY kind""".stripMargin)),
+
+    // P5/P6 + scalar string functions: concat_ws, upper, substring, length.
+    QueryDef("q13_strings",
+      (s, dir) => table(s, dir, "part")
+        .select(col("p_partkey"),
+          concat_ws("_", col("p_brand"), col("p_type")).as("brand_type"),
+          upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+          length(col("p_name")).as("name_len")),
+      Some("""SELECT p_partkey, concat_ws('_', p_brand, p_type) AS brand_type,
+             | upper(substr(p_name, 1, 8)) AS name_prefix,
+             | CAST(length(p_name) AS INT) AS name_len
+             |FROM part""".stripMargin)),
+
+    // P8: roll-up column arithmetic — greatest/least/sum-of-columns (the
+    // pivot family's bucket combine step as a standalone surface).
+    QueryDef("q14_rollup_arith",
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("q"),
+          round(min(col("l_extendedprice")), 2).as("pmin"),
+          round(max(col("l_extendedprice")), 2).as("pmax"))
+        .select(col("l_orderkey"),
+          round(col("q") + col("pmin") + col("pmax"), 2).as("combined"),
+          round(greatest(col("q"), col("pmin"), col("pmax")), 2).as("g"),
+          round(least(col("q"), col("pmin"), col("pmax")), 2).as("l")),
+      Some("""SELECT l_orderkey, round(q + pmin + pmax, 2) AS combined,
+             | round(greatest(q, pmin, pmax), 2) AS g,
+             | round(least(q, pmin, pmax), 2) AS l
+             |FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS q,
+             |   round(min(l_extendedprice), 2) AS pmin,
+             |   round(max(l_extendedprice), 2) AS pmax
+             |  FROM lineitem GROUP BY l_orderkey)""".stripMargin)),
+
+    // Event-time tumbling-window aggregation over the events table — the
+    // batch shape of the Structured Streaming pipeline (graft.streaming).
+    QueryDef("q15_event_windows",
+      (s, dir) => table(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value")),
+      Some("""SELECT date_trunc('day', ts) AS day, event_type,
+             | count(*) AS n_events, round(sum(value), 2) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // JSON extraction from the events props column (get_json_object).
+    QueryDef("q16_json",
+      (s, dir) => table(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .groupBy(col("k_val")).agg(count(lit(1)).as("n")),
+      Some("""SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_val, count(*) AS n
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // Grouping sets surface (rollup) — A8 "available built-in".
+    QueryDef("q17_rollup",
+      (s, dir) => table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             | round(sum(l_quantity), 2) AS qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin))
+  )
+}
