@@ -1,24 +1,88 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.datagen.DataGen
+import graft.features.{CaseWhenStrategy, FeatureSpec, MapGroupsStrategy, PivotRollupStrategy}
+import graft.queries.RefWorkload
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Benchmark harness. Two groups of timings, every one a full
+  * read -> compute -> WRITE-parquet action (the reference's metric,
+  * python/data_generation/helpers.py:24-44 — never `count()`, which lets
+  * Catalyst elide projections):
+  *
+  *   - every SparkEntry query at `SPARK_GRAFT_SF_DIR` (driver: sf0.1),
+  *     excluding the `ref_*` entries which ignore the sf dir;
+  *   - the reference workload itself on DataGen.Tiny (~17.3M rows):
+  *     the 2,080-column FeatureSpec.reference via all three strategies,
+  *     directly comparable to BASELINE.md tiny (pivot 104.21s,
+  *     case-when 242.84s, pandas-udf 78.31s on 16 vCPU).
+  *
+  * Results go to stdout as ONE bare JSON line AND to
+  * /root/repo/bench_out.json; the file is pre-written with value=-1
+  * before the run as an OOM/crash marker, like the reference's
+  * BenchmarkWriter.before() (helpers.py:24-32).
+  */
 object Bench {
+
+  private val OutFile = Paths.get("/root/repo/bench_out.json")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    Files.writeString(OutFile,
+      s"""{"metric":"total","value":-1,"unit":"sec","queries":{},"sf":"$sfDir"}""")
+
+    val spark = GraftSession.build(GraftSession.cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val scratch = "/root/repo/target/bench_scratch"
+
+    def timed(fn: => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      fn.write.mode(SaveMode.Overwrite).parquet(s"$scratch/out")
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // JVM/codegen warmup so the first measured query isn't charged for
+    // session spin-up (the reference times session creation per-impl; our
+    // per-query numbers share one session, recorded under "warmup").
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    results("warmup") = timed(spark.range(0, 1000000).toDF("n"))
+
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !name.startsWith("ref_")) {
+      results(name) = try timed(fn(spark, sfDir)) catch { case _: Throwable => -1.0 }
+    }
+
+    // The reference benchmark at tiny scale. Generation is timed too
+    // (cached across runs — deterministic output).
+    results("ref_tiny_datagen") =
+      try timed2(RefWorkload.ensure(spark, DataGen.Tiny, RefWorkload.tinyPath))
+      catch { case _: Throwable => -1.0 }
+    val tiny = RefWorkload.tinyPath
+    for ((name, strat) <- Seq(
+        "ref_tiny_pivot" -> PivotRollupStrategy,
+        "ref_tiny_casewhen" -> CaseWhenStrategy,
+        "ref_tiny_mapgroups" -> MapGroupsStrategy)) {
+      results(name) =
+        try timed(strat(spark.read.parquet(tiny), FeatureSpec.reference))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val json =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(OutFile, json)
+    println(json)
     spark.stop()
+  }
+
+  /** Time a side-effecting action (the generator writes its own parquet). */
+  private def timed2(action: => Unit): Double = {
+    val t0 = System.nanoTime()
+    action
+    (System.nanoTime() - t0) / 1e9
   }
 }

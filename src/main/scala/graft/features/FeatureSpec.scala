@@ -90,7 +90,7 @@ final case class FeatureSpec(
       val c = cond(f)
       val e = f.agg match {
         case AggKind.Count => s"CAST(sum(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT)"
-        case AggKind.Sum   => r(s"sum(CASE WHEN $c THEN $valueCol ELSE 0 END)")
+        case AggKind.Sum   => r(s"coalesce(sum(CASE WHEN $c THEN $valueCol END), 0)")
         case AggKind.Avg   => r(s"avg(CASE WHEN $c THEN $valueCol END)")
         case AggKind.Min   => r(s"min(CASE WHEN $c THEN $valueCol END)")
         case AggKind.Max   => r(s"max(CASE WHEN $c THEN $valueCol END)")

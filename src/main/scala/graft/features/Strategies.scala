@@ -24,21 +24,6 @@ trait FeatureStrategy {
   def apply(df: DataFrame, spec: FeatureSpec): DataFrame
 }
 
-object FeatureStrategy {
-  /** Round all double feature columns for hash-stable oracle comparison.
-    * The epsilon mirrors FeatureSpec.toOracleSql — see the note there.
-    */
-  def roundFeatures(df: DataFrame, spec: FeatureSpec, scale: Int): DataFrame = {
-    val cols = col(spec.keyCol) +: spec.features.map { f =>
-      f.agg match {
-        case AggKind.Count => col(f.name)
-        case _             => round(col(f.name) + lit(1e-6), scale).as(f.name)
-      }
-    }
-    df.select(cols: _*)
-  }
-}
-
 /** Single-pass conditional aggregation: `agg_k(CASE WHEN cond THEN x END)`
   * for every (tuple, window, agg) combo, all inside one `agg()` call so
   * Catalyst plans Scan -> partial HashAggregate -> Exchange(key) -> final
@@ -55,10 +40,13 @@ object CaseWhenStrategy extends FeatureStrategy {
       }
       val v = col(spec.valueCol)
       val e = f.agg match {
-        // count -> 0 and sum -> 0.0 on empty; avg/min/max -> NULL
-        // (spec-canonical semantics, SURVEY.md 2.7.3).
+        // count -> 0 and sum -> 0.0 when no matching non-NULL values;
+        // avg/min/max -> NULL (spec-canonical semantics, SURVEY.md 2.7.3).
+        // coalesce instead of the reference's `.otherwise(0)` so the result
+        // is total even when EVERY group row matches with a NULL value —
+        // the one case where the reference's form leaks a NULL.
         case AggKind.Count => sum(when(cond, lit(1L)).otherwise(lit(0L)))
-        case AggKind.Sum   => sum(when(cond, v).otherwise(lit(0.0d)))
+        case AggKind.Sum   => coalesce(sum(when(cond, v)), lit(0.0d))
         case AggKind.Avg   => avg(when(cond, v))
         case AggKind.Min   => min(when(cond, v))
         case AggKind.Max   => max(when(cond, v))
@@ -99,9 +87,13 @@ object PivotRollupStrategy extends FeatureStrategy {
     ) { (acc, w) => acc.when(col(spec.timeCol) <= lit(w), lit(w.toString)) }
 
     // One pivot key per grouping family, exploded so a single group-by
-    // covers every family without a second scan or a stitch join.
+    // covers every family without a second scan or a stitch join. Plain
+    // `concat` (not concat_ws): a NULL grouping value or NULL bucket makes
+    // the whole key NULL, which the known-values pivot drops — identical to
+    // the case-when path where `col === lit(v)` is never true on NULL.
     val famKeys = spec.groupings.zipWithIndex.map { case (fam, fi) =>
-      concat_ws("_", (lit(s"f$fi") +: fam.cols.map(col)) :+ col(winCol): _*)
+      val parts = (lit(s"f$fi") +: fam.cols.map(col)) :+ col(winCol)
+      concat(parts.flatMap(p => Seq(lit("_"), p)).tail: _*)
     }
 
     val exploded = df
@@ -117,15 +109,20 @@ object PivotRollupStrategy extends FeatureStrategy {
         w <- spec.windows
       } yield (s"f$fi" +: tuple :+ w.toString).mkString("_")
 
+    // Five cells per bucket: `rows` counts matching ROWS (what the Count
+    // feature means — NULL values included, same as the case-when path's
+    // sum(when(cond,1).otherwise(0))), `nnz` counts non-NULL values (the
+    // exact-avg denominator and the sum NULL-semantics guard).
     val v = col(spec.valueCol)
     val wide = exploded
       .groupBy(col(spec.keyCol))
       .pivot(pivotCol, pivotValues)
-      .agg(count(v).as("count"), sum(v).as("sum"), min(v).as("min"), max(v).as("max"))
+      .agg(count(lit(1L)).as("rows"), count(v).as("nnz"),
+        sum(v).as("sum"), min(v).as("min"), max(v).as("max"))
 
     // Roll disjoint buckets up into cumulative windows. Exact for every
     // agg: counts/sums add (NULL cells = empty bucket = 0), min/max via
-    // least/greatest (NULL-skipping), avg derived as sum/count — unlike
+    // least/greatest (NULL-skipping), avg derived as sum/nnz — unlike
     // reference impl/pyspark-pivot.py:98's unweighted mean-of-means.
     def bucketCol(f: Feature, w: Int, agg: String): Column =
       col(s"`${(s"f${f.familyIdx}" +: f.tuple :+ w.toString).mkString("_")}_$agg`")
@@ -134,11 +131,11 @@ object PivotRollupStrategy extends FeatureStrategy {
       val bucketsUpTo = spec.windows.filter(_ <= f.window)
       def sumOf(agg: String, zero: Column): Column =
         bucketsUpTo.map(w => coalesce(bucketCol(f, w, agg), zero)).reduce(_ + _)
-      val cnt = sumOf("count", lit(0L))
+      lazy val nnz = sumOf("nnz", lit(0L))
       val e = f.agg match {
-        case AggKind.Count => cnt
+        case AggKind.Count => sumOf("rows", lit(0L))
         case AggKind.Sum   => sumOf("sum", lit(0.0d))
-        case AggKind.Avg   => when(cnt > 0, sumOf("sum", lit(0.0d)) / cnt)
+        case AggKind.Avg   => when(nnz > 0, sumOf("sum", lit(0.0d)) / nnz)
         case AggKind.Min =>
           val cs = bucketsUpTo.map(w => bucketCol(f, w, "min"))
           if (cs.length == 1) cs.head else least(cs: _*)

@@ -45,13 +45,18 @@ object FeatureQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("feature_events_casewhen",
-      (s, dir) => FeatureStrategy.roundFeatures(
+      (s, dir) => QueryDef.roundForOracle(
         CaseWhenStrategy(prepared(QueryDef.table(s, dir, "events")), eventsSpec),
         eventsSpec, Round),
       Some(oracle)),
     QueryDef("feature_events_pivot",
-      (s, dir) => FeatureStrategy.roundFeatures(
+      (s, dir) => QueryDef.roundForOracle(
         PivotRollupStrategy(prepared(QueryDef.table(s, dir, "events")), eventsSpec),
+        eventsSpec, Round),
+      Some(oracle)),
+    QueryDef("feature_events_mapgroups",
+      (s, dir) => QueryDef.roundForOracle(
+        MapGroupsStrategy(prepared(QueryDef.table(s, dir, "events")), eventsSpec),
         eventsSpec, Round),
       Some(oracle))
   )

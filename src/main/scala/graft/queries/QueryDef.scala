@@ -20,14 +20,32 @@ object QueryDef {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright. Read nanos as long and convert with exact
-    * integer arithmetic to a micros timestamp (DuckDB's ns->us cast
-    * truncates identically, so oracle comparisons stay bit-equal).
+    * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong` is set at
+    * session build (GraftSession does). Convert with exact integer
+    * arithmetic to a micros timestamp (DuckDB's ns->us cast truncates
+    * identically, so oracle comparisons stay bit-equal).
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions
         .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+
+  /** Verify-layer rounding of double feature columns for hash-stable
+    * DuckDB comparison — NOT part of the feature API (the engine's public
+    * answer is unrounded; only the oracle diff needs stable decimals).
+    * The +1e-6 epsilon mirrors FeatureSpec.toOracleSql: it shifts
+    * decimal-exact rounding ties (e.g. an avg landing on .xxxx5) off the
+    * boundary, where Spark's string-based Round and DuckDB's
+    * multiply-based round would otherwise disagree.
+    */
+  def roundForOracle(df: DataFrame, spec: graft.features.FeatureSpec, scale: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, round}
+    val cols = col(spec.keyCol) +: spec.features.map { f =>
+      f.agg match {
+        case graft.features.AggKind.Count => col(f.name)
+        case _ => round(col(f.name) + lit(1e-6), scale).as(f.name)
+      }
+    }
+    df.select(cols: _*)
   }
 }

@@ -125,8 +125,12 @@ object RelationalQueries {
         .groupBy(col("l_linestatus"))
         .pivot(col("l_returnflag"), Seq("A", "N", "R"))
         .agg(round(sum(col("l_quantity")), 2).as("qty"), count(lit(1)).as("n"))
-        .select(col("l_linestatus"), col("A_qty"), col("A_n"),
-          col("N_qty"), col("N_n"), col("R_qty"), col("R_n")),
+        // coalesce the counts: a pivot cell with no rows is NULL on the
+        // Spark side but 0 from the oracle's count(CASE WHEN ...) — real
+        // TPC-H data has empty (linestatus, returnflag) cells.
+        .select(col("l_linestatus"), col("A_qty"), coalesce(col("A_n"), lit(0L)).as("A_n"),
+          col("N_qty"), coalesce(col("N_n"), lit(0L)).as("N_n"),
+          col("R_qty"), coalesce(col("R_n"), lit(0L)).as("R_n")),
       Some("""SELECT l_linestatus,
              | round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A_qty,
              | count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS A_n,

@@ -1,0 +1,86 @@
+package graft.features
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The core algebraic contract: all three strategy compilers produce the
+  * SAME table for the same [[FeatureSpec]] — including on inputs with NULL
+  * values, NULL grouping columns, and out-of-window rows (the divergences
+  * VERDICT.md r1 flagged as latent). Values are dyadic (k/8) so sums are
+  * order-independent and results compare EXACTLY, no float tolerance.
+  */
+class StrategyEquivalenceSpec extends AnyFunSuite with SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("g1", StringType, nullable = true),
+    StructField("g2", StringType, nullable = true),
+    StructField("t", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = true)
+  ))
+
+  private val spec = FeatureSpec(
+    keyCol = "k", valueCol = "v", timeCol = "t",
+    windows = Seq(7, 14, 30),
+    groupings = Seq(
+      GroupingFamily(Seq("g1"), Seq(Seq("a"), Seq("b"))),
+      GroupingFamily.cross("g1" -> Seq("a", "b"), "g2" -> Seq("x", "y"))
+    ))
+
+  private def randomFrame(seed: Long, nRows: Int): DataFrame = {
+    val rng = new java.util.SplittableRandom(seed)
+    val g1s = Array("a", "b", "c", null)
+    val g2s = Array("x", "y", "z", null)
+    val rows = (0 until nRows).map { _ =>
+      Row(
+        rng.nextLong(15),
+        g1s(rng.nextInt(g1s.length)),
+        g2s(rng.nextInt(g2s.length)),
+        rng.nextLong(45) - 5L, // includes t<0 and t>maxWindow
+        if (rng.nextInt(5) == 0) null else rng.nextLong(160) / 8.0
+      )
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+  }
+
+  private def collectSorted(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+
+  test("case-when ≡ pivot+rollup ≡ mapGroups on randomized inputs with NULLs") {
+    for (seed <- Seq(1L, 2L, 3L, 4L, 5L)) {
+      val df = randomFrame(seed, 400)
+      val a = collectSorted(CaseWhenStrategy(df, spec))
+      val b = collectSorted(PivotRollupStrategy(df, spec))
+      val c = collectSorted(MapGroupsStrategy(df, spec))
+      assert(a == b, s"case-when vs pivot diverged (seed=$seed)")
+      assert(a == c, s"case-when vs mapGroups diverged (seed=$seed)")
+    }
+  }
+
+  test("all strategies emit the canonical output schema") {
+    val df = randomFrame(7L, 100)
+    val expected = spec.outputColumns
+    for (s <- Seq(CaseWhenStrategy, PivotRollupStrategy, MapGroupsStrategy))
+      assert(s(df, spec).columns.toSeq == expected)
+  }
+
+  test("Count features count rows, not non-NULL values (VERDICT r1 bug #1)") {
+    // 3 rows match (g1=a, t<=7): two NULL values, one 4.0.
+    val rows = Seq(
+      Row(1L, "a", "x", 1L, null),
+      Row(1L, "a", "y", 2L, null),
+      Row(1L, "a", "x", 3L, 4.0),
+      Row(1L, "b", "x", 1L, 2.0)
+    )
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    for (s <- Seq(CaseWhenStrategy, PivotRollupStrategy, MapGroupsStrategy)) {
+      val out = s(df, spec).collect().head
+      val idx = spec.outputColumns.indexOf("a_7d_count")
+      assert(out.get(idx) == 3L, s"${s.getClass.getSimpleName}: a_7d_count")
+      val avgIdx = spec.outputColumns.indexOf("a_7d_avg")
+      assert(out.get(avgIdx) == 4.0, s"${s.getClass.getSimpleName}: a_7d_avg over non-NULLs")
+    }
+  }
+}
