@@ -27,6 +27,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // AggregatorStrategy runs as ObjectHashAggregate; the default
+      // sort-based fallback after 128 distinct keys would defeat the hash
+      // path for any real key count. 128k keys x ~17KB buffer ≈ 2 GB of
+      // agg state per task ceiling before graceful sort-based fallback.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 

@@ -58,6 +58,11 @@ object FeatureQueries {
       (s, dir) => QueryDef.roundForOracle(
         MapGroupsStrategy(prepared(QueryDef.table(s, dir, "events")), eventsSpec),
         eventsSpec, Round),
+      Some(oracle)),
+    QueryDef("feature_events_aggregator",
+      (s, dir) => QueryDef.roundForOracle(
+        AggregatorStrategy(prepared(QueryDef.table(s, dir, "events")), eventsSpec),
+        eventsSpec, Round),
       Some(oracle))
   )
 }

@@ -107,6 +107,7 @@ object RefWorkload {
     strategyQuery("ref_trx_casewhen", CaseWhenStrategy),
     strategyQuery("ref_trx_pivot", PivotRollupStrategy),
     strategyQuery("ref_trx_mapgroups", MapGroupsStrategy),
+    strategyQuery("ref_trx_aggregator", AggregatorStrategy),
     datagenStats,
     globScan
   )

@@ -30,7 +30,7 @@ class NullSemanticsSpec extends AnyFunSuite with SparkSpec {
   }
 
   private val strategies =
-    Seq(CaseWhenStrategy, PivotRollupStrategy, MapGroupsStrategy)
+    Seq(CaseWhenStrategy, PivotRollupStrategy, MapGroupsStrategy, AggregatorStrategy)
 
   test("no matching rows: count=0, sum=0.0, avg/min/max NULL") {
     for (s <- strategies) {

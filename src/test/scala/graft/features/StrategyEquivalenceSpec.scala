@@ -48,21 +48,23 @@ class StrategyEquivalenceSpec extends AnyFunSuite with SparkSpec {
   private def collectSorted(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
 
-  test("case-when ≡ pivot+rollup ≡ mapGroups on randomized inputs with NULLs") {
+  test("case-when ≡ pivot+rollup ≡ mapGroups ≡ aggregator on randomized inputs with NULLs") {
     for (seed <- Seq(1L, 2L, 3L, 4L, 5L)) {
       val df = randomFrame(seed, 400)
       val a = collectSorted(CaseWhenStrategy(df, spec))
       val b = collectSorted(PivotRollupStrategy(df, spec))
       val c = collectSorted(MapGroupsStrategy(df, spec))
+      val d = collectSorted(AggregatorStrategy(df, spec))
       assert(a == b, s"case-when vs pivot diverged (seed=$seed)")
       assert(a == c, s"case-when vs mapGroups diverged (seed=$seed)")
+      assert(a == d, s"case-when vs aggregator diverged (seed=$seed)")
     }
   }
 
   test("all strategies emit the canonical output schema") {
     val df = randomFrame(7L, 100)
     val expected = spec.outputColumns
-    for (s <- Seq(CaseWhenStrategy, PivotRollupStrategy, MapGroupsStrategy))
+    for (s <- Seq(CaseWhenStrategy, PivotRollupStrategy, MapGroupsStrategy, AggregatorStrategy))
       assert(s(df, spec).columns.toSeq == expected)
   }
 
@@ -75,7 +77,7 @@ class StrategyEquivalenceSpec extends AnyFunSuite with SparkSpec {
       Row(1L, "b", "x", 1L, 2.0)
     )
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-    for (s <- Seq(CaseWhenStrategy, PivotRollupStrategy, MapGroupsStrategy)) {
+    for (s <- Seq(CaseWhenStrategy, PivotRollupStrategy, MapGroupsStrategy, AggregatorStrategy)) {
       val out = s(df, spec).collect().head
       val idx = spec.outputColumns.indexOf("a_7d_count")
       assert(out.get(idx) == 3L, s"${s.getClass.getSimpleName}: a_7d_count")
