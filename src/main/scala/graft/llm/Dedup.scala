@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a document table `(id, text)`. Every
+  * operator is bucketed/banded: candidate pairs come from equi-joins on
+  * hash-derived keys (shuffle-parallel, skew-bounded), NEVER from an
+  * all-pairs product — the difference between running at 100 TB and not
+  * running at all. Verification (Jaccard / Hamming) happens only on the
+  * candidate set.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id as the
+    * canonical copy. The shuffle key is the 32-byte sha2, not the
+    * document text, so shuffle volume is O(rows), not O(corpus bytes).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
+  /** Banded MinHash-LSH near-duplicate pairs with exact-Jaccard rescoring.
+    *
+    * shingle -> k=bands*rowsPerBand MinHashes -> band keys -> explode ->
+    * self-equi-join on the band key (candidates) -> distinct -> exact
+    * word-shingle Jaccard on candidates only -> threshold filter.
+    *
+    * With b bands of r rows, P(candidate) = 1-(1-j^r)^b — the standard
+    * S-curve; defaults catch j >= ~0.6 with high probability.
+    */
+  def minhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 6, rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"),
+      TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), 3).as("sh"))
+    val banded = sh.select(col("id"),
+      explode(TextFunctions.lshBandKeys(col("sh"), bands, rowsPerBand)).as("band"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= lit(minJaccard))
+  }
+
+  /** SimHash near-duplicate pairs: 32-bit SimHash, banded into two
+    * 16-bit halves — docs at Hamming distance d share at least one
+    * identical half whenever the differing bits all land in the other
+    * half (guaranteed for d = 0, probabilistic above; more/narrower bands
+    * raise recall, exactly the MinHash-band trade-off) — then exact
+    * Hamming distance on the candidate pairs only.
+    */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val sims = docs
+      .select(col(idCol).as("id"), TextFunctions.tokenHashes(col(textCol)).as("__h"))
+      .select(col("id"), TextFunctions.simhash(col("__h")).as("simhash"))
+    val banded = sims.select(col("id"), col("simhash"),
+      explode(array(
+        concat(lit("lo:"), (col("simhash") % 65536).cast("string")),
+        concat(lit("hi:"), (col("simhash") / 65536).cast("long").cast("string"))
+      )).as("band"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= lit(maxHamming))
+  }
+
+  /** Character-n-gram Jaccard near-dup pairs: same banded-LSH candidate
+    * generation, but over character 4-grams — robust to token-boundary
+    * edits where word shingles are brittle.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, bands: Int = 6, rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"),
+      TextFunctions.charShingles(col(textCol), n).as("sh"))
+    val banded = sh.select(col("id"),
+      explode(TextFunctions.lshBandKeys(col("sh"), bands, rowsPerBand)).as("band"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= lit(minJaccard))
+  }
+}

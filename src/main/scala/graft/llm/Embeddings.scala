@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`array<float>`). All math
+  * is double-precision sequential fold over the vector — bit-identical
+  * between Spark's `aggregate` HOF and the oracle's `list_sum`, so results
+  * hash-compare exactly.
+  */
+object Embeddings {
+
+  /** Cast to double once; all arithmetic happens in f64. */
+  private def d(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k cosine neighbors for a (small) query set,
+    * the ANN baseline. Scale shape: queries are BROADCAST against the
+    * corpus scan (no shuffle of the corpus), each task keeps a bounded
+    * per-query heap (mapPartitions), and only `tasks x queries x k`
+    * candidate rows reach the final (tiny) global top-k — the corpus is
+    * never shuffled and nothing unbounded is collected.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = corpus
+      .join(broadcast(q), col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col("__qv"), col(vecCol)).as("sim"))
+
+    // Per-partition bounded top-k (heap), before any shuffle.
+    val schema = StructType(Seq(
+      StructField("query_id", LongType), StructField("neighbor_id", LongType),
+      StructField("sim", DoubleType)))
+    implicit val enc = Encoders.row(schema)
+    val ord = Ordering.by[(Long, Double), (Double, Long)] {
+      case (id, sim) => (-sim, id) // best first: sim desc, id asc
+    }
+    val pruned = scored.mapPartitions { rows =>
+      val heaps = scala.collection.mutable.Map[Long, scala.collection.mutable.PriorityQueue[(Long, Double)]]()
+      rows.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.getLong(0),
+          scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord)) // max-heap on "worst"
+        h.enqueue((r.getLong(1), r.getDouble(2)))
+        if (h.size > k) h.dequeue() // drop current worst
+      }
+      heaps.iterator.flatMap { case (q, h) =>
+        h.iterator.map { case (id, sim) => Row(q, id, sim) }
+      }
+    }
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    pruned
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+  }
+
+  /** Sign-bit LSH bucket key: the sign pattern of the first `bits`
+    * dimensions (axis-aligned random-hyperplane hashing — deterministic
+    * and oracle-reproducible; rotate dimensions per table for
+    * independence in production).
+    */
+  def signBucket(vec: Column, bits: Int): Column =
+    concat((1 to bits).map { i =>
+      when(element_at(vec, i) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** LSH-bucketed cosine near-duplicate pairs: candidates share a sign
+    * bucket (equi-join on the bucket key — never all-pairs), then exact
+    * cosine rescoring on candidates only.
+    */
+  def lshCosinePairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 8, minCosine: Double = 0.2): DataFrame = {
+    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    b.as("a")
+      .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("sim"))
+      .filter(col("sim") >= lit(minCosine))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text analysis for LLM training-data pipelines: tokenizing,
+  * quality scoring, language ID, shingling, MinHash and SimHash — all
+  * composed from codegen'd `org.apache.spark.sql.functions` (no UDFs in
+  * the hot path; every function here stays inside whole-stage codegen and
+  * needs zero shuffles by itself).
+  *
+  * Hash choice: every content hash is md5 (hex string). Not for speed —
+  * xxhash64 would be faster — but md5 is identical across Spark, DuckDB,
+  * Python and friends, which makes the whole pipeline independently
+  * re-computable by the correctness oracle. Swap `md5` for `xxhash64` in
+  * production if oracle parity is not needed.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (single-space convention of the corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and runs of
+    * other non-space symbols each count as one token — the pre-merge
+    * vocabulary shape of byte-pair tokenizers.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"))
+
+  /** Sliding word n-grams; shorter texts yield their single clamped gram. */
+  def wordShingles(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+
+  /** Sliding character n-grams. */
+  def charShingles(text: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
+      i => substr(text, i, lit(n)))
+
+  /** One MinHash value: the minimum over shingles of md5(salt || shingle).
+    * k salted copies form the classic MinHash signature.
+    */
+  def minhash(shingles: Column, salt: Int): Column =
+    array_min(transform(shingles, s => md5(concat(lit(s"$salt:"), s))))
+
+  /** LSH band keys for banded MinHash: `bands` keys, each hashing
+    * `rowsPerBand` consecutive signature values (+ the band index, so one
+    * join column carries band identity). Two documents that share ANY
+    * band key are near-duplicate candidates — candidate generation is a
+    * plain equi-join on the band key: fully shuffle-parallel, never
+    * all-pairs.
+    */
+  def lshBandKeys(shingles: Column, bands: Int, rowsPerBand: Int): Column = {
+    val keys = (0 until bands).map { b =>
+      val sig = (0 until rowsPerBand).map(r => minhash(shingles, b * rowsPerBand + r))
+      md5(concat_ws("|", lit(b.toString) +: sig: _*))
+    }
+    array(keys: _*)
+  }
+
+  /** Distinct-set Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val inter = size(filter(da, x => array_contains(b, x)))
+    val union = size(array_distinct(concat(a, b)))
+    inter.cast("double") / union.cast("double")
+  }
+
+  /** Per-token 32-bit content hashes (first 8 hex digits of md5). */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+
+  /** SimHash over pre-computed token hashes (pass [[tokenHashes]] via a
+    * projected column so the md5s are computed once, not once per bit):
+    * bit j of the result is 1 iff more tokens have bit j set than not.
+    */
+  def simhash(hashes: Column, bits: Int = 32): Column =
+    (0 until bits).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Document fingerprint: the minimum 3-word-shingle hash (a 1-function
+    * MinHash — equal fingerprints are a strong containment signal).
+    */
+  def fingerprint(text: Column): Column =
+    minhash(wordShingles(tokens(text), 3), 0)
+
+  /** Language marker words. Deliberately tiny and deterministic: language
+    * ID here is an oracle-checkable n-gram/stopword heuristic, not a
+    * model. Ties resolve in declaration order.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "que", "una", "es"),
+    "fr" -> Seq("le", "les", "des", "une", "est"),
+    "zh" -> Seq("的", "是", "了", "在")
+  )
+
+  def langScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers: _*)))
+
+  /** Predicted language: argmax of marker-word counts, first-wins ties. */
+  def langId(toks: Column): Column = {
+    val scores = LangMarkers.map { case (l, ws) => l -> langScore(toks, ws) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** English stopwords for the quality score's stopword ratio. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "is", "in", "to", "it")
+
+  /** Composite quality score in [0,1]: length saturation, lexical
+    * diversity, and (1 - stopword ratio), fixed 0.3/0.4/0.3 weights.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val lenScore = least(n / lit(100.0), lit(1.0))
+    val diversity = size(array_distinct(toks)).cast("double") / n
+    val stopRatio = langScore(toks, Stopwords).cast("double") / n
+    lit(0.3) * lenScore + lit(0.4) * diversity + lit(0.3) * (lit(1.0) - stopRatio)
+  }
+}

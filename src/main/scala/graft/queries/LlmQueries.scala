@@ -1,0 +1,246 @@
+package graft.queries
+
+import graft.llm.{Dedup, Embeddings, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+/** LLM training-data pipeline queries over the driver's `documents` and
+  * `embeddings` tables, each hash-checked against a DuckDB oracle that
+  * recomputes the SAME algorithm in SQL. Cross-engine exactness is by
+  * construction: md5 for every content hash, double-precision sequential
+  * folds for every vector sum (Spark `aggregate` HOF ≡ DuckDB
+  * `list_reduce`), and the shared +1e-6 rounding convention for derived
+  * floats (see QueryDef.roundForOracle).
+  */
+object LlmQueries {
+
+  // ---- shared DuckDB SQL fragments (mirror TextFunctions/Embeddings) ----
+
+  /** word tokens CTE fragment */
+  private val toksCte = "SELECT doc_id, text, string_split(text, ' ') AS w FROM documents"
+
+  /** 3-word shingles from tokens column `w` */
+  private val shingles3 =
+    "list_transform(range(1, greatest(len(w)-2, 1)+1), i -> array_to_string(w[i:i+2], ' '))"
+
+  /** char 4-grams from `text` */
+  private val charShingles4 =
+    "list_transform(range(1, greatest(length(text)-3, 1)+1), i -> substring(text, i, 4))"
+
+  /** MinHash of shingle column `c` with salt `s` */
+  private def mhSql(c: String, s: Int): String =
+    s"list_min(list_transform($c, x -> md5('$s:' || x)))"
+
+  /** LSH band-key list over shingle column `c` (mirror TF.lshBandKeys) */
+  private def bandsSql(c: String, bands: Int, r: Int): String = {
+    val keys = (0 until bands).map { b =>
+      val sig = (0 until r).map(i => mhSql(c, b * r + i)).mkString(", ")
+      s"md5(concat_ws('|', '$b', $sig))"
+    }
+    s"[${keys.mkString(", ")}]"
+  }
+
+  /** distinct-set Jaccard of shingle columns `a`,`b` (mirror TF.jaccard) */
+  private def jaccardSql(a: String, b: String): String =
+    s"len(list_filter(list_distinct($a), x -> list_contains($b, x)))::DOUBLE" +
+      s" / len(list_distinct(list_concat($a, $b)))::DOUBLE"
+
+  /** banded-LSH near-dup pair oracle (word or char shingles) */
+  private def lshPairsSql(shingleExpr: String, minJ: Double): String =
+    s"""WITH t AS ($toksCte),
+       |s AS (SELECT doc_id, $shingleExpr AS sh FROM t),
+       |b AS (SELECT doc_id, unnest(${bandsSql("sh", 6, 2)}) AS band FROM s),
+       |c AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b FROM b a
+       |  JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id GROUP BY 1, 2),
+       |j AS (SELECT id_a, id_b, ${jaccardSql("sa.sh", "sb.sh")} AS jac
+       |  FROM c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b)
+       |SELECT id_a, id_b, round(jac + 0.000001, 4) AS jaccard
+       |FROM j WHERE jac >= $minJ""".stripMargin
+
+  /** 32-bit token hash (mirror TF.tokenHashes): fold 8 hex digits of md5 */
+  private val tokenHashSql =
+    "list_transform(w, tk -> list_reduce(list_transform(range(1, 9), " +
+      "i -> CAST(strpos('0123456789abcdef', substring(md5(tk), i, 1)) - 1 AS BIGINT)), " +
+      "(a, b) -> a*16 + b))"
+
+  /** SimHash from token-hash column `hs` (mirror TF.simhash, 32 bits) */
+  private val simhashSql: String =
+    (0 until 32).map { j =>
+      val p = 1L << j
+      s"CASE WHEN list_sum(list_transform(hs, x -> ((x // $p) % 2) * 2 - 1)) > 0 THEN $p ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private val simhashCtes =
+    s"""WITH t AS ($toksCte),
+       |h AS (SELECT doc_id, $tokenHashSql AS hs FROM t),
+       |s AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash FROM h)""".stripMargin
+
+  /** double-precision sequential-fold dot product (mirror Embeddings.dot) */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  private val langScoreSqls = TF.LangMarkers.map { case (l, ws) =>
+    l -> s"len(list_filter(w, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+  }
+
+  // ---- the queries ----
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: canonical id + multiplicity per distinct content.
+    QueryDef("llm_dedup_exact",
+      (s, dir) => Dedup.exact(QueryDef.table(s, dir, "documents"), "doc_id", "text"),
+      Some("""SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+             |FROM documents GROUP BY text""".stripMargin)),
+
+    // Banded MinHash-LSH near-dup candidates + exact Jaccard rescoring.
+    QueryDef("llm_dedup_minhash",
+      (s, dir) => Dedup.minhashPairs(QueryDef.table(s, dir, "documents"), "doc_id", "text")
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") + lit(1e-6), 4).as("jaccard")),
+      Some(lshPairsSql(shingles3, 0.5))),
+
+    // Character-4-gram variant of the same LSH pipeline.
+    QueryDef("llm_dedup_ngram",
+      (s, dir) => Dedup.ngramJaccardPairs(QueryDef.table(s, dir, "documents"), "doc_id", "text")
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") + lit(1e-6), 4).as("jaccard")),
+      Some(lshPairsSql(charShingles4, 0.5))),
+
+    // SimHash values per document.
+    QueryDef("llm_simhash",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        docs.select(col("doc_id"), TF.tokenHashes(col("text")).as("__h"))
+          .select(col("doc_id"), TF.simhash(col("__h")).as("simhash"))
+      },
+      Some(s"$simhashCtes SELECT doc_id, simhash FROM s")),
+
+    // SimHash near-dup pairs via 16-bit-half banding + Hamming rescoring.
+    QueryDef("llm_dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(QueryDef.table(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""$simhashCtes,
+              |b AS (SELECT doc_id, simhash, unnest([
+              |   'lo:' || CAST(simhash % 65536 AS VARCHAR),
+              |   'hi:' || CAST(simhash // 65536 AS VARCHAR)]) AS band FROM s),
+              |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+              |   bit_count(xor(a.simhash, b2.simhash)) AS hamming
+              |  FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
+              |  GROUP BY 1, 2, 3)
+              |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+              |FROM p WHERE hamming <= 6""".stripMargin)),
+
+    // Corpus stats: per (lang, source) token/char aggregates.
+    QueryDef("llm_text_stats",
+      (s, dir) => QueryDef.table(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          round(avg(col("n_chars")) + lit(1e-6), 4).as("avg_chars"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+          sum(TF.bpeTokenCount(col("text")).cast("long")).as("sum_bpe_tokens")),
+      Some("""SELECT lang, source, count(*) AS n_docs,
+             | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             | round(avg(n_chars) + 0.000001, 4) AS avg_chars,
+             | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+             | CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+'))) AS BIGINT) AS sum_bpe_tokens
+             |FROM documents GROUP BY lang, source""".stripMargin)),
+
+    // Marker-based language ID (deterministic heuristic, argmax + ordered
+    // tie-break).
+    QueryDef("llm_lang_id",
+      (s, dir) => QueryDef.table(s, dir, "documents")
+        .select(col("doc_id"), TF.langId(TF.tokens(col("text"))).as("lang_pred")),
+      Some {
+        val scores = langScoreSqls.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+        val m = s"greatest(${langScoreSqls.map(p => "s_" + p._1).mkString(", ")})"
+        val cases = langScoreSqls.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
+        s"""WITH t AS ($toksCte),
+           |s AS (SELECT doc_id, $scores FROM t),
+           |g AS (SELECT doc_id, *, $m AS m FROM s)
+           |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM g""".stripMargin
+      }),
+
+    // Quality scoring: length saturation + lexical diversity + stopwords.
+    QueryDef("llm_quality",
+      (s, dir) => QueryDef.table(s, dir, "documents")
+        .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"),
+          round(TF.qualityScore(col("text")) + lit(1e-6), 4).as("quality")),
+      Some {
+        val stop = TF.Stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH t AS ($toksCte),
+           |q AS (SELECT doc_id, len(w) AS n_tokens,
+           |  0.3 * least(len(w)::DOUBLE / 100.0, 1.0)
+           |  + 0.4 * (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE)
+           |  + 0.3 * (1.0 - len(list_filter(w, x -> x IN ($stop)))::DOUBLE / len(w)::DOUBLE)
+           |  AS quality FROM t)
+           |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           | round(quality + 0.000001, 4) AS quality FROM q""".stripMargin
+      }),
+
+    // Rolling-hash document fingerprint (1-function MinHash).
+    QueryDef("llm_fingerprint",
+      (s, dir) => QueryDef.table(s, dir, "documents")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp")),
+      Some(s"""WITH t AS ($toksCte),
+              |s AS (SELECT doc_id, $shingles3 AS sh FROM t)
+              |SELECT doc_id, ${mhSql("sh", 0)} AS fp FROM s""".stripMargin)),
+
+    // Brute-force cosine top-k ANN baseline: broadcast query set,
+    // per-partition bounded heaps, tiny global top-k.
+    QueryDef("llm_emb_topk",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        Embeddings.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", 5)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"),
+            round(col("sim") + lit(1e-6), 4).as("sim"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+              |  FROM embeddings WHERE vec_id < 10),
+              |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+              |   ${cosSql("q.qe", "e.embedding")} AS sim
+              |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+              |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+              |   (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+              |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk,
+              | round(sim + 0.000001, 4) AS sim FROM r WHERE rnk <= 5""".stripMargin)),
+
+    // Sign-bit LSH bucketed cosine near-dup pairs (never all-pairs).
+    QueryDef("llm_emb_neardup",
+      (s, dir) => Embeddings.lshCosinePairs(
+          QueryDef.table(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id_a"), col("id_b"),
+          round(col("sim") + lit(1e-6), 4).as("sim")),
+      Some {
+        val bucket = "array_to_string(list_transform(range(1, 9), " +
+          "i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')"
+        s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+           |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           |   ${cosSql("a.embedding", "b2.embedding")} AS sim
+           |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+           |SELECT id_a, id_b, round(sim + 0.000001, 4) AS sim
+           |FROM p WHERE sim >= 0.2""".stripMargin
+      }),
+
+    // Multimodal-adjacent: array-typed column stats per label.
+    QueryDef("llm_emb_stats",
+      (s, dir) => QueryDef.table(s, dir, "embeddings")
+        .select(col("label"), Embeddings.norm(col("embedding")).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("nrm")) + lit(1e-6), 4).as("avg_norm"),
+          round(min(col("nrm")) + lit(1e-6), 4).as("min_norm"),
+          round(max(col("nrm")) + lit(1e-6), 4).as("max_norm")),
+      Some(s"""WITH n AS (SELECT label, ${normSql("embedding")} AS nrm FROM embeddings)
+              |SELECT label, count(*) AS n,
+              | round(avg(nrm) + 0.000001, 4) AS avg_norm,
+              | round(min(nrm) + 0.000001, 4) AS min_norm,
+              | round(max(nrm) + 0.000001, 4) AS max_norm
+              |FROM n GROUP BY label""".stripMargin))
+  )
+}
