@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def all: Seq[QueryDef] =
-    RelationalQueries.defs ++ FeatureQueries.defs ++ RefWorkload.defs ++ LlmQueries.defs
+    RelationalQueries.defs ++ FeatureQueries.defs ++ RefWorkload.defs ++
+      LlmQueries.defs ++ MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's feature-generation query (case-when strategy)

@@ -279,6 +279,41 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty")),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
              | round(sum(l_quantity), 2) AS qty
-             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin))
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // J2: full-outer stitch of two aggregates on a shared key with
+    // asymmetric coverage — the reference's two-family stitch join
+    // (reference impl/duckdb_pivot.py:105-110).
+    QueryDef("q18_full_outer",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val a = o.filter(col("o_orderstatus") === "P")
+          .groupBy(col("o_custkey").as("ck_a"))
+          .agg(count(lit(1)).as("n_pending"))
+        val b = o.filter(col("o_totalprice") > 300000.0)
+          .groupBy(col("o_custkey").as("ck_b"))
+          .agg(count(lit(1)).as("n_big"))
+        a.join(b, col("ck_a") === col("ck_b"), "full_outer")
+          .select(coalesce(col("ck_a"), col("ck_b")).as("custkey"),
+            col("n_pending"), col("n_big"))
+      },
+      Some("""SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey, n_pending, n_big
+             |FROM (SELECT o_custkey, count(*) AS n_pending FROM orders
+             |      WHERE o_orderstatus = 'P' GROUP BY o_custkey) a
+             |FULL JOIN (SELECT o_custkey, count(*) AS n_big FROM orders
+             |      WHERE o_totalprice > 300000.0 GROUP BY o_custkey) b
+             | ON a.o_custkey = b.o_custkey""".stripMargin)),
+
+    // A8 completion: cube over two dimensions with grouping_id
+    // disambiguating the NULL group labels.
+    QueryDef("q19_cube",
+      (s, dir) => table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             | count(*) AS n, round(sum(l_quantity), 2) AS qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin))
   )
 }

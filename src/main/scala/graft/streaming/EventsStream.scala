@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine: the same transforms the
+  * batch queries run (q15's windowed aggregation, llm_dedup_exact's
+  * dedup), expressed as incremental plans over an unbounded events
+  * stream — `readStream` -> transform -> `writeStream`, watermarks
+  * bounding state, `flatMapGroupsWithState` for custom per-key state.
+  *
+  * Every transform here takes/returns streaming Datasets, so callers
+  * compose them with any source (file/parquet directory via
+  * `spark.readStream.schema(...).parquet(dir)`, Kafka, or MemoryStream
+  * in tests) and any sink. State stores shard by key across executors —
+  * the streaming twin of the batch shuffle — so these scale with
+  * executor count like the batch plans do.
+  */
+object EventsStream {
+
+  final case class Event(
+      event_id: Long, user_id: Long, event_type: String,
+      value: Double, ts: java.sql.Timestamp)
+
+  final case class UserRunning(
+      user_id: Long, n_events: Long, total_value: Double)
+
+  /** Unbounded stream of events from a growing parquet directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
+      .parquet(dir)
+
+  /** Tumbling daily windows per event type; watermark bounds the window
+    * state to ~1 day of late data (batch twin: q15_event_windows).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("win.start").as("day"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the streaming twin of llm_dedup_exact (state: one key per id seen,
+    * dropped once the watermark passes).
+    */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark("event_id")
+
+  /** Running per-user counters via flatMapGroupsWithState — the
+    * incremental form of the feature-store query: each micro-batch folds
+    * its events into per-user state and emits the updated feature row.
+    * Use with OutputMode.Update.
+    */
+  def runningUserFeatures(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.total_value
+          batch.foreach { e => n += 1; s += e.value }
+          val next = UserRunning(user, n, s)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventsStreamSpec extends AnyFunSuite with SparkSpec {
+
+  import EventsStream._
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  test("windowed counts aggregate incrementally across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        Event(1, 10, "click", 1.0, ts(1, 3)),
+        Event(2, 10, "click", 2.0, ts(1, 9)),
+        Event(3, 11, "view", 5.0, ts(2, 1)))
+      q.processAllAvailable()
+      in.addData(Event(4, 12, "click", 4.0, ts(1, 20)))
+      q.processAllAvailable()
+      val out = spark.table("win_agg").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(out(("2024-01-01 00:00:00.0", "click")) == ((3L, 7.0)))
+      assert(out(("2024-01-02 00:00:00.0", "view")) == ((1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = dedup(in.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, 10, "click", 1.0, ts(1)),
+        Event(1, 10, "click", 1.0, ts(1)), // dup in same batch
+        Event(2, 11, "view", 2.0, ts(1)))
+      q.processAllAvailable()
+      in.addData(Event(1, 10, "click", 1.0, ts(1))) // dup across batches
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user feature state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = runningUserFeatures(in.toDS())
+      .writeStream.format("memory").queryName("user_run")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Event(1, 10, "click", 1.5, ts(1)), Event(2, 10, "view", 2.5, ts(1)))
+      q.processAllAvailable()
+      in.addData(Event(3, 10, "click", 6.0, ts(2)))
+      q.processAllAvailable()
+      val last = spark.table("user_run").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // update mode appends one row per batch; the latest row carries the
+      // accumulated state
+      assert(last.contains((10L, 3L, 10.0)))
+    } finally q.stop()
+  }
+}
