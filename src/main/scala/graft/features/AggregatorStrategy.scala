@@ -37,7 +37,7 @@ object AggregatorStrategy extends FeatureStrategy {
 
   private final class FeatureAgg(
       windows: Array[Int],
-      famTupleIdx: Array[Map[List[String], Int]],
+      famTupleIdx: Array[java.util.HashMap[String, Integer]],
       famCellOffset: Array[Int],
       famColPos: Array[Array[Int]],
       nCells: Int,
@@ -62,21 +62,39 @@ object AggregatorStrategy extends FeatureStrategy {
       if (bkt < nWin) {
         var fi = 0
         while (fi < famColPos.length) {
-          val tuple = famColPos(fi).map { p =>
-            val v = row.get(p); if (v == null) null else v.toString
-          }.toList
-          famTupleIdx(fi).get(tuple) match {
-            case Some(ti) =>
-              val c = famCellOffset(fi) + ti * nWin + bkt
-              b.cnt(c) += 1L
-              if (!row.isNullAt(0)) {
-                val v = row.getDouble(0)
-                b.nnz(c) += 1L
-                b.sum(c) += v
-                if (b.mn(c).isNaN || v < b.mn(c)) b.mn(c) = v
-                if (b.mx(c).isNaN || v > b.mx(c)) b.mx(c) = v
+          // single '\u0000'-joined key: one allocation, one hash lookup
+          // per (row, family); a NULL grouping value matches no tuple.
+          val pos = famColPos(fi)
+          var key: String = null
+          if (pos.length == 1) {
+            val v = row.get(pos(0))
+            if (v != null) key = v.toString
+          } else {
+            val sb = new java.lang.StringBuilder(32)
+            var ok = true
+            var i = 0
+            while (ok && i < pos.length) {
+              val v = row.get(pos(i))
+              if (v == null) ok = false
+              else {
+                if (i > 0) sb.append('\u0000')
+                sb.append(v)
               }
-            case None => ()
+              i += 1
+            }
+            if (ok) key = sb.toString
+          }
+          val ti = if (key == null) null else famTupleIdx(fi).get(key)
+          if (ti != null) {
+            val c = famCellOffset(fi) + ti.intValue() * nWin + bkt
+            b.cnt(c) += 1L
+            if (!row.isNullAt(0)) {
+              val v = row.getDouble(0)
+              b.nnz(c) += 1L
+              b.sum(c) += v
+              if (b.mn(c).isNaN || v < b.mn(c)) b.mn(c) = v
+              if (b.mx(c).isNaN || v > b.mx(c)) b.mx(c) = v
+            }
           }
           fi += 1
         }
@@ -142,16 +160,21 @@ object AggregatorStrategy extends FeatureStrategy {
     // input struct: value, time, then the distinct grouping columns
     val colPos = dataCols.zipWithIndex.map { case (c, i) => (c, i + 2) }.toMap
     val famColPos = famColNames.map(_.map(colPos))
-    val famTupleIdx = spec.groupings.map { fam =>
-      fam.valueTuples.zipWithIndex.map { case (t, i) => (t.toList, i) }.toMap
-    }.toArray
+    val famTupleIdx: Array[java.util.HashMap[String, Integer]] =
+      spec.groupings.map { fam =>
+        val m = new java.util.HashMap[String, Integer]()
+        fam.valueTuples.zipWithIndex.foreach { case (t, i) =>
+          m.put(t.mkString("\u0000"), Integer.valueOf(i))
+        }
+        m
+      }.toArray
     val famCellOffset = spec.groupings.scanLeft(0)(_ + _.valueTuples.length * nWin)
       .init.toArray
     val nCells = spec.groupings.map(_.valueTuples.length * nWin).sum
 
     val featPlan = spec.features.map { f =>
       val base = famCellOffset(f.familyIdx) +
-        famTupleIdx(f.familyIdx)(f.tuple.toList) * nWin
+        famTupleIdx(f.familyIdx).get(f.tuple.mkString("\u0000")).intValue() * nWin
       (base, windows.indexOf(f.window), aggOrd(f.agg), 0)
     }.toArray
 

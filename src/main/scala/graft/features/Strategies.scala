@@ -3,8 +3,10 @@ package graft.features
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Compiles a [[FeatureSpec]] into a Spark plan. Two interchangeable
-  * strategies (same output schema, same values up to float associativity):
+/** Compiles a [[FeatureSpec]] into a Spark plan. Four interchangeable
+  * strategies (same output schema and values — pinned by
+  * StrategyEquivalenceSpec; this file holds the two declarative ones,
+  * [[MapGroupsStrategy]] and [[AggregatorStrategy]] the imperative two):
   *
   *   - [[CaseWhenStrategy]]: one `groupBy(key).agg(N conditional aggs)` —
   *     spec-exact, a single shuffle, heavy codegen

@@ -77,6 +77,29 @@ object Embeddings {
       when(element_at(vec, i) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** Approximate top-k: IVF-style probe of the query's own sign bucket
+    * (inverted lists keyed by [[signBucket]]; probe=1). Each query scores
+    * only its bucket's candidates — the corpus-side work drops by
+    * ~2^bits vs [[bruteForceTopK]], the recall trade of every IVF/LSH
+    * ANN index. More probes = also join on neighboring buckets.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, bits: Int, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** LSH-bucketed cosine near-duplicate pairs: candidates share a sign
     * bucket (equi-join on the bucket key — never all-pairs), then exact
     * cosine rescoring on candidates only.

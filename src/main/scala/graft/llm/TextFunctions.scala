@@ -42,10 +42,24 @@ object TextFunctions {
       i => substr(text, i, lit(n)))
 
   /** One MinHash value: the minimum over shingles of md5(salt || shingle).
-    * k salted copies form the classic MinHash signature.
+    * k salted copies form the classic MinHash signature (string form; the
+    * banding path below uses the cheaper universal-hash form).
     */
   def minhash(shingles: Column, salt: Int): Column =
     array_min(transform(shingles, s => md5(concat(lit(s"$salt:"), s))))
+
+  /** Universal-hash MinHash parameters: `(a_j * h + b_j) mod P` over a
+    * base 32-bit content hash h. a_j < 2^30 and h < 2^32 keep the
+    * product under 2^62 — no signed-64 overflow in either Spark or the
+    * DuckDB oracle (which errors on BIGINT overflow rather than wraps).
+    */
+  val MinHashP: Long = (1L << 61) - 1
+  def minhashA(j: Int): Long = (2L * j + 1) * 0x9E3779B1L % (1L << 30) | 1L
+  def minhashB(j: Int): Long = (j + 1L) * 0x85EBCA77L % (1L << 30)
+
+  /** Per-shingle 32-bit base hashes (first 8 hex digits of md5). */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
 
   /** LSH band keys for banded MinHash: `bands` keys, each hashing
     * `rowsPerBand` consecutive signature values (+ the band index, so one
@@ -53,19 +67,38 @@ object TextFunctions {
     * band key are near-duplicate candidates — candidate generation is a
     * plain equi-join on the band key: fully shuffle-parallel, never
     * all-pairs.
+    *
+    * Signature values use ONE md5 per shingle plus k universal-hash
+    * transforms — k times less hashing than k salted md5 passes (the
+    * md5 tree dominated the LSH stage at scale).
     */
-  def lshBandKeys(shingles: Column, bands: Int, rowsPerBand: Int): Column = {
+  def lshBandKeys(shingles: Column, bands: Int, rowsPerBand: Int): Column =
+    lshBandKeysFromHashes(shingleHashes(shingles), bands, rowsPerBand)
+
+  /** Same, over a PRE-MATERIALIZED base-hash column (project
+    * [[shingleHashes]] into a real column first — otherwise Spark clones
+    * the md5 subtree into each of the k signature expressions).
+    */
+  def lshBandKeysFromHashes(hs: Column, bands: Int, rowsPerBand: Int): Column = {
     val keys = (0 until bands).map { b =>
-      val sig = (0 until rowsPerBand).map(r => minhash(shingles, b * rowsPerBand + r))
+      val sig = (0 until rowsPerBand).map { r =>
+        val j = b * rowsPerBand + r
+        array_min(transform(hs,
+          h => (lit(minhashA(j)) * h + lit(minhashB(j))) % lit(MinHashP)))
+          .cast("string")
+      }
       md5(concat_ws("|", lit(b.toString) +: sig: _*))
     }
     array(keys: _*)
   }
 
-  /** Distinct-set Jaccard similarity of two shingle arrays. */
+  /** Distinct-set Jaccard similarity of two shingle arrays.
+    * `array_intersect` is hash-based O(n+m) (and distinct-valued, same as
+    * DuckDB's `list_intersect`) — a filter+contains formulation is
+    * O(n·m) and dominated the rescoring stage at scale.
+    */
   def jaccard(a: Column, b: Column): Column = {
-    val da = array_distinct(a)
-    val inter = size(filter(da, x => array_contains(b, x)))
+    val inter = size(array_intersect(a, b))
     val union = size(array_distinct(concat(a, b)))
     inter.cast("double") / union.cast("double")
   }

@@ -26,29 +26,52 @@ object LlmQueries {
   private val charShingles4 =
     "list_transform(range(1, greatest(length(text)-3, 1)+1), i -> substring(text, i, 4))"
 
-  /** MinHash of shingle column `c` with salt `s` */
+  /** MinHash of shingle column `c` with salt `s` (string form — used by
+    * the fingerprint op)
+    */
   private def mhSql(c: String, s: Int): String =
     s"list_min(list_transform($c, x -> md5('$s:' || x)))"
 
-  /** LSH band-key list over shingle column `c` (mirror TF.lshBandKeys) */
-  private def bandsSql(c: String, bands: Int, r: Int): String = {
+  /** big-endian fold of the first 8 hex digits of md5(`v`) — mirror of
+    * TF.shingleHashes / conv(substring(md5,1,8),16,10)
+    */
+  private def hashFoldSql(v: String): String =
+    s"list_reduce(list_transform(range(1, 9), " +
+      s"i -> CAST(strpos('0123456789abcdef', substring(md5($v), i, 1)) - 1 AS BIGINT)), " +
+      "(a, b) -> a*16 + b)"
+
+  /** LSH band-key list over pre-hashed shingle column `hs` (mirror
+    * TF.lshBandKeysFromHashes: universal-hash MinHash signature)
+    */
+  private def bandsSql(hs: String, bands: Int, r: Int): String = {
     val keys = (0 until bands).map { b =>
-      val sig = (0 until r).map(i => mhSql(c, b * r + i)).mkString(", ")
+      val sig = (0 until r).map { i =>
+        val j = b * r + i
+        val (a, bb) = (TF.minhashA(j), TF.minhashB(j))
+        s"CAST(list_min(list_transform($hs, h -> ($a * h + $bb) % ${TF.MinHashP})) AS VARCHAR)"
+      }.mkString(", ")
       s"md5(concat_ws('|', '$b', $sig))"
     }
     s"[${keys.mkString(", ")}]"
   }
 
-  /** distinct-set Jaccard of shingle columns `a`,`b` (mirror TF.jaccard) */
+  /** distinct-set Jaccard of shingle columns `a`,`b` (mirror TF.jaccard;
+    * list_intersect ≡ array_intersect: distinct common elements)
+    */
   private def jaccardSql(a: String, b: String): String =
-    s"len(list_filter(list_distinct($a), x -> list_contains($b, x)))::DOUBLE" +
+    s"len(list_intersect($a, $b))::DOUBLE" +
       s" / len(list_distinct(list_concat($a, $b)))::DOUBLE"
 
-  /** banded-LSH near-dup pair oracle (word or char shingles) */
+  /** banded-LSH near-dup pair oracle (word or char shingles); mirrors
+    * Dedup.lshPairs including the mega-bucket guard (HAVING <= 64).
+    */
   private def lshPairsSql(shingleExpr: String, minJ: Double): String =
     s"""WITH t AS ($toksCte),
        |s AS (SELECT doc_id, $shingleExpr AS sh FROM t),
-       |b AS (SELECT doc_id, unnest(${bandsSql("sh", 6, 2)}) AS band FROM s),
+       |hh AS (SELECT doc_id, list_transform(sh, x -> ${hashFoldSql("x")}) AS hs FROM s),
+       |b0 AS (SELECT doc_id, unnest(${bandsSql("hs", 6, 2)}) AS band FROM hh),
+       |b AS (SELECT * FROM b0 WHERE band IN
+       |  (SELECT band FROM b0 GROUP BY band HAVING count(*) <= 64)),
        |c AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b FROM b a
        |  JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id GROUP BY 1, 2),
        |j AS (SELECT id_a, id_b, ${jaccardSql("sa.sh", "sb.sh")} AS jac
@@ -209,6 +232,31 @@ object LlmQueries {
               |   (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
               |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk,
               | round(sim + 0.000001, 4) AS sim FROM r WHERE rnk <= 5""".stripMargin)),
+
+    // IVF/LSH-probe approximate top-k: each query scores only its own
+    // sign-bucket inverted list (the scale path; brute force above is
+    // the recall baseline).
+    QueryDef("llm_emb_topk_lsh",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        Embeddings.lshTopK(emb, emb.filter(col("vec_id") < 50),
+            "vec_id", "embedding", bits = 4, k = 3)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"),
+            round(col("sim") + lit(1e-6), 4).as("sim"))
+      },
+      Some {
+        val bucket = "array_to_string(list_transform(range(1, 5), " +
+          "i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')"
+        s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+           |j AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |   ${cosSql("q.embedding", "c.embedding")} AS sim
+           |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+           |  WHERE q.vec_id < 50),
+           |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+           |   (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM j)
+           |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk,
+           | round(sim + 0.000001, 4) AS sim FROM r WHERE rnk <= 3""".stripMargin
+      }),
 
     // Sign-bit LSH bucketed cosine near-dup pairs (never all-pairs).
     QueryDef("llm_emb_neardup",

@@ -304,6 +304,35 @@ object RelationalQueries {
              |      WHERE o_totalprice > 300000.0 GROUP BY o_custkey) b
              | ON a.o_custkey = b.o_custkey""".stripMargin)),
 
+    // SQL frontend surface: the same engine over spark.sql(...) — views
+    // registered, ANSI SQL in, Catalyst plans out.
+    QueryDef("q20_sql",
+      (s, dir) => {
+        table(s, dir, "orders").createOrReplaceTempView("orders_v")
+        table(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""SELECT c_mktsegment, o_orderstatus,
+                |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+                |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+                |WHERE o_totalprice > 100000.0
+                |GROUP BY c_mktsegment, o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, o_orderstatus,
+             | count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_totalprice > 100000.0
+             |GROUP BY c_mktsegment, o_orderstatus""".stripMargin)),
+
+    // Skew-proof salted aggregation (graft.operators.SkewJoin): exact
+    // same answer as a plain group-by, hot keys spread across tasks.
+    QueryDef("q21_salted_agg",
+      (s, dir) => graft.operators.SkewJoin
+        .saltedCountSum(table(s, dir, "lineitem"), "l_returnflag", "l_quantity", 8)
+        .select(col("l_returnflag"), col("n_rows"),
+          round(col("sum_value"), 2).as("sum_value")),
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+             | round(sum(l_quantity), 2) AS sum_value
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // A8 completion: cube over two dimensions with grouping_id
     // disambiguating the NULL group labels.
     QueryDef("q19_cube",

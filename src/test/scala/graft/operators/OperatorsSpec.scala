@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows") {
+    val left = (1 to 1000).map(i => (i % 3L, i.toLong)).toDF("k", "v")
+    val right = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).select("k", "v", "name")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val salted = SkewJoin.saltedJoin(left, right, "k", 8).select("k", "v", "name")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val df = (1 to 5000).map(i => (i % 5L, (i % 97).toDouble)).toDF("k", "v")
+    val plain = df.groupBy($"k")
+      .agg(count(lit(1)).as("n_rows"), sum($"v").as("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = SkewJoin.saltedCountSum(df, "k", "v", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables co-locate the equi-join: zero exchanges") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val trx = graft.datagen.DataGen
+        .transactions(spark, graft.datagen.DataGen.Config(100L, 2, 5))
+      trx.write.mode("overwrite")
+        .bucketBy(8, "customer_id").sortBy("customer_id")
+        .saveAsTable("graft_bucketed_a")
+      trx.groupBy("customer_id").agg(count(lit(1)).as("n")).write.mode("overwrite")
+        .bucketBy(8, "customer_id")
+        .saveAsTable("graft_bucketed_b")
+      val joined = spark.table("graft_bucketed_a")
+        .join(spark.table("graft_bucketed_b"), "customer_id")
+      val exchanges = joined.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty,
+        s"bucketed join should shuffle nothing, found ${exchanges.length}")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
