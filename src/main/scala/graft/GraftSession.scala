@@ -21,6 +21,7 @@ object GraftSession {
   def build(cpus: Int, appName: String = "graft"): SparkSession =
     SparkSession.builder()
       .appName(appName)
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -59,13 +59,22 @@ object Dedup {
     // without a cache Spark re-computes the k x shingles MinHash tree per
     // branch — measured 2x end-to-end on the degenerate char-gram corpus.
     // MEMORY_AND_DISK, evicted LRU; Spark MLlib's LSH does the same. The
-    // base hash column materializes before banding so md5 runs once per
-    // shingle, not once per signature slot.
+    // base hashes and the signature materialize as real columns before
+    // banding, so md5 runs once per shingle and the signature once per
+    // doc. Signature kernel: the native one-pass MinHashSignature
+    // expression when GraftExtensions is registered (GraftSession always
+    // registers it), else the equivalent HOF formulation.
+    val k = bands * rowsPerBand
+    val sigCol =
+      if (graft.plans.GraftExtensions.registered(sh0.sparkSession))
+        call_function("graft_minhash_sig", col("__hs"), lit(k))
+      else TextFunctions.minhashSignature(col("__hs"), k)
     val sh = sh0
       .withColumn("__hs", TextFunctions.shingleHashes(col("sh")))
+      .withColumn("__sig", sigCol)
       .persist()
     val banded = sh.select(col("id"),
-      explode(TextFunctions.lshBandKeysFromHashes(col("__hs"), bands, rowsPerBand)).as("band"))
+      explode(TextFunctions.lshBandKeysFromSig(col("__sig"), bands, rowsPerBand)).as("band"))
       .persist()
     val keep = banded.groupBy(col("band"))
       .agg(count(lit(1)).as("__n"))

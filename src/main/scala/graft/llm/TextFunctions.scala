@@ -75,22 +75,34 @@ object TextFunctions {
   def lshBandKeys(shingles: Column, bands: Int, rowsPerBand: Int): Column =
     lshBandKeysFromHashes(shingleHashes(shingles), bands, rowsPerBand)
 
+  /** k-slot MinHash signature as an `array<long>` column — the HOF
+    * formulation (k × array_min(transform)). The native one-pass twin is
+    * `graft_minhash_sig(hs, k)` (graft.plans.MinHashSignature), same
+    * values; Dedup picks native when the extension is registered.
+    */
+  def minhashSignature(hs: Column, k: Int): Column =
+    array((0 until k).map { j =>
+      array_min(transform(hs,
+        h => (lit(minhashA(j)) * h + lit(minhashB(j))) % lit(MinHashP)))
+    }: _*)
+
+  /** Band keys from a materialized signature column. */
+  def lshBandKeysFromSig(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    val keys = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map { r =>
+        element_at(sig, b * rowsPerBand + r + 1).cast("string")
+      }
+      md5(concat_ws("|", lit(b.toString) +: parts: _*))
+    }
+    array(keys: _*)
+  }
+
   /** Same, over a PRE-MATERIALIZED base-hash column (project
     * [[shingleHashes]] into a real column first — otherwise Spark clones
     * the md5 subtree into each of the k signature expressions).
     */
-  def lshBandKeysFromHashes(hs: Column, bands: Int, rowsPerBand: Int): Column = {
-    val keys = (0 until bands).map { b =>
-      val sig = (0 until rowsPerBand).map { r =>
-        val j = b * rowsPerBand + r
-        array_min(transform(hs,
-          h => (lit(minhashA(j)) * h + lit(minhashB(j))) % lit(MinHashP)))
-          .cast("string")
-      }
-      md5(concat_ws("|", lit(b.toString) +: sig: _*))
-    }
-    array(keys: _*)
-  }
+  def lshBandKeysFromHashes(hs: Column, bands: Int, rowsPerBand: Int): Column =
+    lshBandKeysFromSig(minhashSignature(hs, bands * rowsPerBand), bands, rowsPerBand)
 
   /** Distinct-set Jaccard similarity of two shingle arrays.
     * `array_intersect` is hash-based O(n+m) (and distinct-valued, same as

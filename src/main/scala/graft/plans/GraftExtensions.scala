@@ -1,0 +1,39 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Engine extension point (`spark.sql.extensions`-compatible and applied
+  * by GraftSession directly): registers the engine's native expressions
+  * so they're callable from both the Column API
+  * (`call_function("graft_minhash_sig", ...)`) and SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.minhashSig)
+  }
+}
+
+object GraftExtensions {
+
+  val minhashSig: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "graft_minhash_sig(hashes, k)")
+      val k = args(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"k must be an integer literal, got $other")
+      }
+      MinHashSignature(args.head, k)
+    }
+  )
+
+  /** True once the function is visible in the session's registry. */
+  def registered(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.catalog.functionExists("graft_minhash_sig")
+}

@@ -32,6 +32,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
   test("bucketed tables co-locate the equi-join: zero exchanges") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
+      // a previous JVM's managed-table dirs block CREATE (the in-memory
+      // catalog of THIS session has never heard of them) — clear both
+      // catalog entries and leftover locations
+      for (t <- Seq("graft_bucketed_a", "graft_bucketed_b")) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val dir = new java.io.File(s"spark-warehouse/$t")
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          rm(dir)
+        }
+      }
       val trx = graft.datagen.DataGen
         .transactions(spark, graft.datagen.DataGen.Config(100L, 2, 5))
       trx.write.mode("overwrite")
