@@ -54,6 +54,28 @@ class EventsStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: parquet directory feeds the windowed pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    Seq(
+      Event(1, 10, "click", 2.0, ts(1, 5)),
+      Event(2, 11, "click", 3.0, ts(1, 7))
+    ).toDS().write.mode("append").parquet(dir)
+    val q = windowedCounts(readEvents(spark, dir))
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      // late-arriving file = a new micro-batch
+      Seq(Event(3, 12, "click", 5.0, ts(1, 9)))
+        .toDS().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val out = spark.table("file_win").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(out(("2024-01-01 00:00:00.0", "click")) == ((3L, 10.0)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user feature state") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
