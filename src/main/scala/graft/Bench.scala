@@ -53,11 +53,14 @@ object Bench {
       results(name) = try timed(fn(spark, sfDir)) catch { case _: Throwable => -1.0 }
     }
 
-    // The reference benchmark at tiny scale. Generation is timed too
-    // (cached across runs — deterministic output).
+    // The reference benchmark at tiny scale. The dataset is regenerated
+    // every run (delete + write) so the datagen timing is real and the
+    // generator/partitioned-sink path is exercised per round.
     results("ref_tiny_datagen") =
-      try timed2(RefWorkload.ensure(spark, DataGen.Tiny, RefWorkload.tinyPath))
-      catch { case _: Throwable => -1.0 }
+      try {
+        deleteRecursively(new java.io.File(RefWorkload.tinyPath))
+        timed2(RefWorkload.ensure(spark, DataGen.Tiny, RefWorkload.tinyPath))
+      } catch { case _: Throwable => -1.0 }
     val tiny = RefWorkload.tinyPath
     for ((name, strat) <- Seq(
         "ref_tiny_aggregator" -> AggregatorStrategy,
@@ -85,5 +88,11 @@ object Bench {
     val t0 = System.nanoTime()
     action
     (System.nanoTime() - t0) / 1e9
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+    ()
   }
 }

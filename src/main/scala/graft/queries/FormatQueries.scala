@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink formats beyond parquet: CSV, JSON-lines and ORC
+  * round-trips (engine writes the format, reads it back, aggregates).
+  * CSV/JSON oracles re-read the SAME files with DuckDB; ORC has no
+  * DuckDB reader, so it registers as a rows-only check.
+  */
+object FormatQueries {
+
+  private val root = "/root/repo/target/fmt"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("fmt_csv_roundtrip",
+      (s, dir) => {
+        val p = s"$root/nation_csv"
+        QueryDef.table(s, dir, "nation")
+          .write.mode("overwrite").option("header", "true").csv(p)
+        s.read
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT, n_comment STRING")
+          .option("header", "true").csv(p)
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+      },
+      Some(s"""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+              |FROM read_csv('$root/nation_csv/*.csv', header=true)
+              |GROUP BY n_regionkey""".stripMargin)),
+
+    QueryDef("fmt_json_roundtrip",
+      (s, dir) => {
+        val p = s"$root/docs_json"
+        QueryDef.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").json(p)
+        s.read.schema("doc_id LONG, lang STRING, n_chars LONG").json(p)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_docs,
+              | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              |FROM read_json_auto('$root/docs_json/*.json')
+              |GROUP BY lang""".stripMargin)),
+
+    // ORC is Spark-native; DuckDB can't read it back -> rows-only gate.
+    QueryDef("fmt_orc_roundtrip",
+      (s, dir) => {
+        val p = s"$root/orders_orc"
+        QueryDef.table(s, dir, "orders")
+          .write.mode("overwrite").orc(p)
+        s.read.orc(p)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      },
+      None)
+  )
+}
