@@ -333,6 +333,31 @@ object RelationalQueries {
              | round(sum(l_quantity), 2) AS sum_value
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // As-of (point-in-time) join — graft.operators.AsOfJoin's union +
+    // carry-forward formulation, checked against DuckDB's NATIVE
+    // ASOF LEFT JOIN: for each error event, the latest click at or
+    // before it by the same user.
+    QueryDef("q22_asof",
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+        graft.operators.AsOfJoin
+          .backward(errors, clicks, "user_id", "ts",
+            Seq("click_id", "click_value"), suffix = "")
+          .select(col("event_id"), col("user_id"),
+            col("click_id"), round(col("click_value"), 4).as("click_value"))
+      },
+      Some("""WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+             | c AS (SELECT * FROM events WHERE event_type = 'click')
+             |SELECT e.event_id, e.user_id, c.event_id AS click_id,
+             | round(c.value, 4) AS click_value
+             |FROM e ASOF LEFT JOIN c
+             | ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin)),
+
     // A8 completion: cube over two dimensions with grouping_id
     // disambiguating the NULL group labels.
     QueryDef("q19_cube",

@@ -29,6 +29,34 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(salted == plain)
   }
 
+  test("as-of backward join matches the latest right row at-or-before each left row") {
+    val left = Seq(
+      (1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 300L), // key 10 at t=100,205,300
+      (4L, 20L, 50L)                                     // key 20, no clicks before
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, 100L, "a"), (10L, 200L, "b"), (10L, 400L, "c"),
+      (20L, 60L, "late")
+    ).toDF("k", "t", "payload")
+    val out = AsOfJoin.backward(left, right, "k", "t", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "a", "tie at t=100 matches inclusively")
+    assert(out(2L) == "b", "t=205 takes the t=200 row")
+    assert(out(3L) == "b", "t=300 still b (c is in the future)")
+    assert(out(4L) == null, "no right row at or before -> NULL")
+  }
+
+  test("as-of join carries whole right rows, not per-column lasts") {
+    val left = Seq((1L, 10L, 300L)).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, 100L, Some("old"), Some(1.0)),
+      (10L, 200L, None: Option[String], Some(2.0)) // matching row has NULL p1
+    ).toDF("k", "t", "p1", "p2")
+    val r = AsOfJoin.backward(left, right, "k", "t", Seq("p1", "p2")).collect().head
+    assert(r.get(3) == null, "NULL field of the matched row must stay NULL")
+    assert(r.getDouble(4) == 2.0)
+  }
+
   test("bucketed tables co-locate the equi-join: zero exchanges") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
