@@ -358,6 +358,34 @@ object RelationalQueries {
              |FROM e ASOF LEFT JOIN c
              | ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin)),
 
+    // Range (interval) join: equi key + time-band condition — clicks in
+    // the hour before each error. Catalyst plans the equi part as the
+    // join key (shuffle by user) and the band as a join-side filter, so
+    // it scales with per-key density, not |left| x |right|. Both engines
+    // compare at microsecond precision (ns truncated identically).
+    QueryDef("q23_range_join",
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        errors.join(clicks,
+            col("user_id") === col("c_user") &&
+              col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+              col("c_ts") < col("ts"), "left")
+          .groupBy(col("event_id"), col("user_id"))
+          .agg(count(col("c_ts")).as("clicks_before"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |   FROM events WHERE event_type = 'error'),
+             | c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+             |   FROM events WHERE event_type = 'click')
+             |SELECT e.event_id, e.user_id, count(c.ts) AS clicks_before
+             |FROM e LEFT JOIN c ON e.user_id = c.user_id
+             | AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts < e.ts
+             |GROUP BY e.event_id, e.user_id""".stripMargin)),
+
     // A8 completion: cube over two dimensions with grouping_id
     // disambiguating the NULL group labels.
     QueryDef("q19_cube",
