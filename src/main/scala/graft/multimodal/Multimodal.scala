@@ -92,4 +92,20 @@ object Multimodal {
     decoded.filter(col("kind") === "video")
       .select(col("asset_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
+
+  /** Resize stage (STUB like decode: target geometry is computed, pixel
+    * resampling is where a real library would run). Aspect-preserving
+    * fit into a `maxSide` box; pure column arithmetic, codegen'd, and
+    * exactly the transform a real resize would parameterize.
+    */
+  def resize(decoded: DataFrame, maxSide: Int = 512): DataFrame = {
+    val scale = least(
+      lit(maxSide.toDouble) / col("width"),
+      lit(maxSide.toDouble) / col("height"),
+      lit(1.0))
+    decoded.select(col("asset_id"), col("kind"),
+      col("width"), col("height"),
+      floor(col("width") * scale).cast("int").as("out_width"),
+      floor(col("height") * scale).cast("int").as("out_height"))
+  }
 }

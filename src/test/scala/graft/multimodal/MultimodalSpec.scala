@@ -40,6 +40,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(a.values.forall(_.length == 16))
   }
 
+  test("resize fits into the box preserving aspect, never upscales") {
+    val out = Multimodal.resize(Multimodal.decode(assets), maxSide = 256)
+      .collect()
+    for (r <- out) {
+      val (w, h, ow, oh) = (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(ow <= 256 && oh <= 256)
+      assert(ow <= w && oh <= h, "no upscaling")
+      val inAspect = w.toDouble / h
+      val outAspect = ow.toDouble / oh
+      assert(math.abs(inAspect - outAspect) / inAspect < 0.02, "aspect preserved")
+    }
+  }
+
   test("frame sampling explodes only video assets") {
     val frames = Multimodal.sampleFrames(Multimodal.decode(assets), step = 10)
       .groupBy(col("asset_id")).agg(count(lit(1)).as("n"))
