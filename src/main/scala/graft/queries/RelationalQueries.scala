@@ -386,6 +386,28 @@ object RelationalQueries {
              | AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts < e.ts
              |GROUP BY e.event_id, e.user_id""".stripMargin)),
 
+    // Session windows (30-min inactivity gap) — Spark's session_window;
+    // the oracle reproduces the same sessionization as gaps-and-islands
+    // SQL (new session when the gap is >= 30 min).
+    QueryDef("q24_session",
+      (s, dir) => table(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("session_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"), col("session_value")),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+             |   FROM events),
+             | x AS (SELECT user_id, ts, value,
+             |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+             |   THEN 1 ELSE 0 END AS new_s FROM e),
+             | y AS (SELECT user_id, ts, value,
+             |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM x)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+             | round(sum(value), 2) AS session_value
+             |FROM y GROUP BY user_id, sid""".stripMargin)),
+
     // A8 completion: cube over two dimensions with grouping_id
     // disambiguating the NULL group labels.
     QueryDef("q19_cube",
