@@ -13,7 +13,8 @@ object SparkEntry {
 
   private def all: Seq[QueryDef] =
     RelationalQueries.defs ++ FeatureQueries.defs ++ RefWorkload.defs ++
-      LlmQueries.defs ++ MultimodalQueries.defs ++ FormatQueries.defs
+      LlmQueries.defs ++ MultimodalQueries.defs ++ FormatQueries.defs ++
+      StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's feature-generation query (case-when strategy)

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.streaming.EventsStream
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Structured Streaming IN the correctness gate: the streaming pipelines
+  * run for real (file source -> micro-batches -> sink) over a bounded
+  * copy of the events table, and their results hash-match the same
+  * DuckDB oracle the batch twin would use — streaming/batch parity as a
+  * verified property, not a claim.
+  */
+object StreamingQueries {
+
+  /** Stage a streaming source directory holding the events table
+    * `copies` times (2 copies = every event duplicated, which gives the
+    * streaming dedup something to do). Staged through the batch reader
+    * so the raw file's TIMESTAMP(NANOS) is normalized to the micros the
+    * stream schema declares.
+    */
+  private def stageSource(
+      s: SparkSession, sfDir: String, name: String, copies: Int): String = synchronized {
+    val dst = s"/root/repo/target/stream_src/$name"
+    if (!new java.io.File(s"$dst/_STAGED_$copies").exists()) {
+      val ev = QueryDef.table(s, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      ev.write.mode("overwrite").parquet(dst)
+      for (_ <- 1 until copies) ev.write.mode("append").parquet(dst)
+      Files.createFile(Paths.get(s"$dst/_STAGED_$copies"))
+    }
+    dst
+  }
+
+  /** Run a bounded streaming query to a memory sink and return its final
+    * table. Trigger.AvailableNow processes every pending file in
+    * micro-batches and stops — the batch-bounded execution of the same
+    * incremental plan a live stream runs forever.
+    */
+  private def runBounded(
+      spark: SparkSession, df: DataFrame,
+      name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"/root/repo/target/stream_chk/$name-${System.nanoTime()}")
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Daily windowed aggregation, streamed — must equal the batch GROUP
+    // BY day/event_type over the doubled source.
+    QueryDef("stream_windowed_agg",
+      (s, dir) => {
+        val src = stageSource(s, dir, "win", copies = 1)
+        val res = runBounded(s,
+          EventsStream.windowedCounts(EventsStream.readEvents(s, src)),
+          "graft_stream_win", OutputMode.Complete())
+        res.select(col("day"), col("event_type"), col("n_events"), col("total_value"))
+      },
+      Some("""SELECT date_trunc('day', ts) AS day, event_type,
+             | count(*) AS n_events, round(sum(value), 2) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Streaming dedup over a source with every event duplicated (two
+    // file copies): exactly-once per event_id must survive, i.e. the
+    // plain distinct count of the original table.
+    QueryDef("stream_dedup",
+      (s, dir) => {
+        val src = stageSource(s, dir, "dedup", copies = 2)
+        val res = runBounded(s,
+          EventsStream.dedup(EventsStream.readEvents(s, src)),
+          "graft_stream_dedup", OutputMode.Append())
+        res.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_unique"),
+            round(sum(col("value")), 2).as("value_sum"))
+      },
+      Some("""SELECT event_type, count(*) AS n_unique,
+             | round(sum(value), 2) AS value_sum
+             |FROM events GROUP BY event_type""".stripMargin))
+  )
+}
