@@ -22,7 +22,10 @@ object StreamingQueries {
     */
   private def stageSource(
       s: SparkSession, sfDir: String, name: String, copies: Int): String = synchronized {
-    val dst = s"/root/repo/target/stream_src/$name"
+    // keyed by scale dir: Verify (sf0.01) and Bench (sf0.1) must never
+    // share a staged source — the oracle compares against sfDir's events
+    val sf = Paths.get(sfDir).getFileName.toString
+    val dst = s"/root/repo/target/stream_src/$sf-$name"
     if (!new java.io.File(s"$dst/_STAGED_$copies").exists()) {
       val ev = QueryDef.table(s, sfDir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
