@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   */
 object FormatQueries {
 
-  private val root = "/root/repo/target/fmt"
+  // Keyed by scale dir: the oracle re-reads these files after the whole
+  // verify run ends, so a bench run at another sf must not overwrite them.
+  private def root(dir: String): String =
+    s"/root/repo/target/fmt/${java.nio.file.Paths.get(dir).getFileName}"
 
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("fmt_csv_roundtrip",
       (s, dir) => {
-        val p = s"$root/nation_csv"
+        val p = s"${root(dir)}/nation_csv"
         QueryDef.table(s, dir, "nation")
           .write.mode("overwrite").option("header", "true").csv(p)
         s.read
@@ -25,12 +28,12 @@ object FormatQueries {
           .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
       },
       Some(s"""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
-              |FROM read_csv('$root/nation_csv/*.csv', header=true)
+              |FROM read_csv('/root/repo/target/fmt/sf0.01/nation_csv/*.csv', header=true)
               |GROUP BY n_regionkey""".stripMargin)),
 
     QueryDef("fmt_json_roundtrip",
       (s, dir) => {
-        val p = s"$root/docs_json"
+        val p = s"${root(dir)}/docs_json"
         QueryDef.table(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"))
           .write.mode("overwrite").json(p)
@@ -40,13 +43,13 @@ object FormatQueries {
       },
       Some(s"""SELECT lang, count(*) AS n_docs,
               | CAST(sum(n_chars) AS BIGINT) AS sum_chars
-              |FROM read_json_auto('$root/docs_json/*.json')
+              |FROM read_json_auto('/root/repo/target/fmt/sf0.01/docs_json/*.json')
               |GROUP BY lang""".stripMargin)),
 
     // ORC is Spark-native; DuckDB can't read it back -> rows-only gate.
     QueryDef("fmt_orc_roundtrip",
       (s, dir) => {
-        val p = s"$root/orders_orc"
+        val p = s"${root(dir)}/orders_orc"
         QueryDef.table(s, dir, "orders")
           .write.mode("overwrite").orc(p)
         s.read.orc(p)
