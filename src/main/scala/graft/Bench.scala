@@ -39,7 +39,12 @@ object Bench {
     def timed(fn: => DataFrame): Double = {
       val t0 = System.nanoTime()
       fn.write.mode(SaveMode.Overwrite).parquet(s"$scratch/out")
-      (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // evict frames the query persisted (LSH dedup caches): leftover
+      // cache shrinks the heap for later queries' aggregation state and
+      // skews their timings
+      spark.catalog.clearCache()
+      secs
     }
 
     // JVM/codegen warmup so the first measured query isn't charged for
@@ -48,14 +53,13 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results("warmup") = timed(spark.range(0, 1000000).toDF("n"))
 
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-         if !name.startsWith("ref_")) {
-      results(name) = try timed(fn(spark, sfDir)) catch { case _: Throwable => -1.0 }
-    }
-
-    // The reference benchmark at tiny scale. The dataset is regenerated
-    // every run (delete + write) so the datagen timing is real and the
-    // generator/partitioned-sink path is exercised per round.
+    // The reference benchmark at tiny scale runs FIRST: the reference
+    // measures each impl in a fresh JVM, and a heap aged by 48 other
+    // queries (streaming state stores, codegen caches) was measured to
+    // cost the 2,080-expression case-when strategy up to 2x. The dataset
+    // is regenerated every run (delete + write) so the datagen timing is
+    // real and the generator/partitioned-sink path is exercised per
+    // round.
     results("ref_tiny_datagen") =
       try {
         deleteRecursively(new java.io.File(RefWorkload.tinyPath))
@@ -71,6 +75,11 @@ object Bench {
         try timed(strat(spark.read.parquet(tiny), FeatureSpec.reference))
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+    }
+
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !name.startsWith("ref_")) {
+      results(name) = try timed(fn(spark, sfDir)) catch { case _: Throwable => -1.0 }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
