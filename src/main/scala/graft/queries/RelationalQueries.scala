@@ -408,6 +408,22 @@ object RelationalQueries {
              | round(sum(value), 2) AS session_value
              |FROM y GROUP BY user_id, sid""".stripMargin)),
 
+    // Exact percentiles (sort-based aggregate; both engines interpolate
+    // linearly on the sorted values) + approx_percentile contrast is
+    // deliberately absent from the oracle (sketches don't hash-match).
+    QueryDef("q25_percentiles",
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)") + lit(1e-6), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)") + lit(1e-6), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.99)") + lit(1e-6), 4).as("p99_price")),
+      Some("""SELECT l_returnflag,
+             | round(quantile_cont(l_quantity, 0.5) + 0.000001, 4) AS p50_qty,
+             | round(quantile_cont(l_quantity, 0.9) + 0.000001, 4) AS p90_qty,
+             | round(quantile_cont(l_extendedprice, 0.99) + 0.000001, 4) AS p99_price
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // A8 completion: cube over two dimensions with grouping_id
     // disambiguating the NULL group labels.
     QueryDef("q19_cube",
