@@ -424,6 +424,19 @@ object RelationalQueries {
              | round(quantile_cont(l_extendedprice, 0.99) + 0.000001, 4) AS p99_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // Approximate aggregation (HLL++ distinct sketch + quantile sketch).
+    // Rows-only gate: sketch estimates are engine-specific by nature, so
+    // the check is structural (non-empty, right shape) — the exact twins
+    // are q11 (count distinct) and q25 (percentiles).
+    QueryDef("q26_approx",
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          round(element_at(expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)"), 1), 2)
+            .as("approx_p50_price")),
+      None),
+
     // A8 completion: cube over two dimensions with grouping_id
     // disambiguating the NULL group labels.
     QueryDef("q19_cube",
