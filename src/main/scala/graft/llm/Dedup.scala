@@ -106,7 +106,7 @@ object Dedup {
       maxHamming: Int = 6): DataFrame = {
     val sims = docs
       .select(col(idCol).as("id"), TextFunctions.tokenHashes(col(textCol)).as("__h"))
-      .select(col("id"), TextFunctions.simhash(col("__h")).as("simhash"))
+      .select(col("id"), simhashCol(docs, col("__h")).as("simhash"))
     val banded = sims.select(col("id"), col("simhash"),
       explode(array(
         concat(lit("lo:"), (col("simhash") % 65536).cast("string")),
@@ -120,6 +120,14 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= lit(maxHamming))
   }
+
+  /** 32-bit SimHash over a token-hash array column: the native one-pass
+    * kernel when GraftExtensions is registered, else the HOF twin.
+    */
+  def simhashCol(df: DataFrame, hashes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (graft.plans.GraftExtensions.registered(df.sparkSession))
+      call_function("graft_simhash", hashes, lit(32))
+    else TextFunctions.simhash(hashes)
 
   /** Character-n-gram Jaccard near-dup pairs: same banded-LSH candidate
     * generation, but over character 4-grams — robust to token-boundary

@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashSig)
+    ext.injectFunction(GraftExtensions.simhash)
   }
 }
 
@@ -33,7 +34,21 @@ object GraftExtensions {
     }
   )
 
-  /** True once the function is visible in the session's registry. */
+  val simhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "graft_simhash(hashes, bits)")
+      val bits = args(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"bits must be an integer literal, got $other")
+      }
+      SimHash(args.head, bits)
+    }
+  )
+
+  /** True once the functions are visible in the session's registry. */
   def registered(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.catalog.functionExists("graft_minhash_sig")
 }

@@ -139,7 +139,7 @@ object LlmQueries {
       (s, dir) => {
         val docs = QueryDef.table(s, dir, "documents")
         docs.select(col("doc_id"), TF.tokenHashes(col("text")).as("__h"))
-          .select(col("doc_id"), TF.simhash(col("__h")).as("simhash"))
+          .select(col("doc_id"), Dedup.simhashCol(docs, col("__h")).as("simhash"))
       },
       Some(s"$simhashCtes SELECT doc_id, simhash FROM s")),
 

@@ -33,6 +33,19 @@ class MinHashSignatureSpec extends AnyFunSuite with SparkSpec {
     assert(native == hof)
   }
 
+  test("native simhash kernel ≡ the HOF formulation on random inputs") {
+    val rng = new java.util.SplittableRandom(11)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(1 + rng.nextInt(60))(rng.nextLong(1L << 32)))
+    }
+    val df = rows.toDF("id", "hs")
+    val native = df.select($"id", call_function("graft_simhash", $"hs", lit(32)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = df.select($"id", TextFunctions.simhash($"hs").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == hof)
+  }
+
   test("codegen and interpreted paths agree") {
     val df = Seq((1L, Seq(7L, 8L, 9L))).toDF("id", "hs")
     def run(): Seq[Long] = df
