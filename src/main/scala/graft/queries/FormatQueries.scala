@@ -46,6 +46,23 @@ object FormatQueries {
               |FROM read_json_auto('/root/repo/target/fmt/sf0.01/docs_json/*.json')
               |GROUP BY lang""".stripMargin)),
 
+    // zstd-compressed parquet sink (the reference's DuckDB sink codec,
+    // impl/duckdb_case-when.py:123) — oracle re-reads the zstd files.
+    QueryDef("fmt_parquet_zstd",
+      (s, dir) => {
+        val p = s"${root(dir)}/orders_zstd"
+        QueryDef.table(s, dir, "orders")
+          .write.mode("overwrite").option("compression", "zstd").parquet(p)
+        s.read.parquet(p)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             | round(sum(o_totalprice), 2) AS total
+             |FROM read_parquet('/root/repo/target/fmt/sf0.01/orders_zstd/*.parquet')
+             |GROUP BY o_orderpriority""".stripMargin)),
+
     // ORC is Spark-native; DuckDB can't read it back -> rows-only gate.
     QueryDef("fmt_orc_roundtrip",
       (s, dir) => {
