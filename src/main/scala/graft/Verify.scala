@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Lets dir-sensitive queries (FormatQueries) fail loudly when the
+    // verify dir doesn't match their static oracle paths.
+    System.setProperty("graft.verify", "true")
     val spark = GraftSession.build(GraftSession.cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
   * all-pairs product — the difference between running at 100 TB and not
   * running at all. Verification (Jaccard / Hamming) happens only on the
   * candidate set.
+  *
+  * ==Caching contract==
+  * The pair-producing operators ([[minhashPairs]], [[ngramJaccardPairs]],
+  * [[simhashPairs]]) `persist()` intermediate frames (signatures / band
+  * keys) because each feeds the bucket census plus both self-join sides —
+  * without the cache Spark recomputes the hash tree per plan branch
+  * (measured 2× end-to-end). The cache lives until the session evicts it
+  * (MEMORY_AND_DISK, LRU): after materializing the result, callers that
+  * compose many pipelines in one session should release it via
+  * `spark.catalog.clearCache()` (what Verify/Bench do between queries) or
+  * `df.sparkSession.sharedState.cacheManager.clearCache()`. Unpersisting
+  * inside these methods is impossible — the returned DataFrame is lazy
+  * and still references the cached frames.
   */
 object Dedup {
 
@@ -100,10 +113,18 @@ object Dedup {
     * half (guaranteed for d = 0, probabilistic above; more/narrower bands
     * raise recall, exactly the MinHash-band trade-off) — then exact
     * Hamming distance on the candidate pairs only.
+    *
+    * Same mega-bucket guard as [[minhashPairs]]: with only 2^16 possible
+    * values per band, a topically-uniform corpus concentrates documents
+    * into few half-values and the self-join goes O(bucket²); band keys
+    * hit by more than `maxBucketSize` docs carry no near-dup signal and
+    * are dropped before the join (the oracle applies the same HAVING
+    * guard). Persists the banded frame — see the caching contract above.
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6,
+      maxBucketSize: Int = 64): DataFrame = {
     val sims = docs
       .select(col(idCol).as("id"), TextFunctions.tokenHashes(col(textCol)).as("__h"))
       .select(col("id"), simhashCol(docs, col("__h")).as("simhash"))
@@ -112,8 +133,14 @@ object Dedup {
         concat(lit("lo:"), (col("simhash") % 65536).cast("string")),
         concat(lit("hi:"), (col("simhash") / 65536).cast("long").cast("string"))
       )).as("band"))
-    banded.as("a")
-      .join(banded.as("b"),
+      .persist()
+    val keep = banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .select(col("band"))
+    val discriminative = banded.join(keep, Seq("band"), "left_semi")
+    discriminative.as("a")
+      .join(discriminative.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))

@@ -103,12 +103,36 @@ object Embeddings {
   /** LSH-bucketed cosine near-duplicate pairs: candidates share a sign
     * bucket (equi-join on the bucket key — never all-pairs), then exact
     * cosine rescoring on candidates only.
+    *
+    * Two defenses against degenerate bucket distributions (normalized
+    * embedding corpora concentrate in few orthants, so unguarded
+    * sign-bucketing degrades toward all-pairs):
+    *   - `bits` defaults to 12 (≤4096 buckets → finer partitioning; the
+    *     recall trade is that a near-dup pair differing in any of the 12
+    *     leading signs is missed — raise recall with fewer bits or
+    *     multiple rotated tables, at more candidate-pair cost);
+    *   - the same mega-bucket guard as `Dedup.lshPairs`: buckets holding
+    *     more than `maxBucketSize` vectors are dropped before the
+    *     self-join (census + left_semi), bounding the join at
+    *     O(buckets × maxBucketSize²) instead of O(bucket²) on the hot
+    *     orthant. The DuckDB oracle applies the identical HAVING guard.
+    *
+    * The bucketed frame is persisted (feeds the census + both join
+    * sides); callers composing many pipelines should clear the session
+    * cache afterwards — same caching contract as [[graft.llm.Dedup]].
     */
   def lshCosinePairs(
       emb: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 8, minCosine: Double = 0.2): DataFrame = {
-    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      bits: Int = 12, minCosine: Double = 0.2,
+      maxBucketSize: Int = 64): DataFrame = {
+    val b0 = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       signBucket(col(vecCol), bits).as("bucket"))
+      .persist()
+    val keep = b0.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .select(col("bucket"))
+    val b = b0.join(keep, Seq("bucket"), "left_semi")
     b.as("a")
       .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -33,11 +33,19 @@ object AsOfJoin {
     val nullTyped: String => Column =
       c => lit(null).cast(right.schema(c).dataType)
 
+    // SQL ASOF semantics on NULLs: a right row with NULL key or NULL time
+    // can never match (NULL compares false in `l.key = r.key AND
+    // l.t >= r.t`). In the carry-forward formulation such a row would
+    // instead sort NULLS FIRST inside the window (its payload carried
+    // forward as a bogus match) and NULL keys would group together, so
+    // drop them before the union — matching the DuckDB ASOF oracle.
+    val rightClean = right.filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
+
     val leftPart = left.select(
       (Seq(col(keyCol).as("__k"), col(timeCol).as("__t"), lit(1).as("__side")) ++
         leftCols.map(col) ++
         payloadCols.map(c => nullTyped(c).as(s"__p_$c"))): _*)
-    val rightPart = right.select(
+    val rightPart = rightClean.select(
       (Seq(col(keyCol).as("__k"), col(timeCol).as("__t"), lit(0).as("__side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         payloadCols.map(c => col(c).as(s"__p_$c"))): _*)

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 /** Source/sink formats beyond parquet: CSV, JSON-lines and ORC
   * round-trips (engine writes the format, reads it back, aggregates).
   * CSV/JSON oracles re-read the SAME files with DuckDB; ORC has no
-  * DuckDB reader, so it registers as a rows-only check.
+  * DuckDB reader, so its oracle reads a parquet twin of the same source
+  * frame — a hash match then proves ORC round-trip fidelity.
   */
 object FormatQueries {
 
@@ -14,11 +15,30 @@ object FormatQueries {
   private def root(dir: String): String =
     s"/root/repo/target/fmt/${java.nio.file.Paths.get(dir).getFileName}"
 
+  // The oracle SQL strings are static (driver contract: SparkEntry
+  // .oracleSql is a plain Map) and pinned to the driver's verify scale.
+  private val OracleRoot = "/root/repo/target/fmt/sf0.01"
+
+  /** The engine side writes under `root(dir)` for any dir (Bench runs
+    * these at sf0.1 without clobbering verify outputs), but a VERIFY run
+    * at a dir the static oracle doesn't point at would silently compare
+    * stale/missing sf0.01 files — fail loudly instead. Verify.main sets
+    * the `graft.verify` property.
+    */
+  private def checkedRoot(dir: String): String = {
+    val r = root(dir)
+    if (sys.props.contains("graft.verify") && r != OracleRoot)
+      throw new IllegalStateException(
+        s"fmt_* oracle SQL is pinned to $OracleRoot but verify is running against $dir; " +
+          "running the compare would silently read stale files")
+    r
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("fmt_csv_roundtrip",
       (s, dir) => {
-        val p = s"${root(dir)}/nation_csv"
+        val p = s"${checkedRoot(dir)}/nation_csv"
         QueryDef.table(s, dir, "nation")
           .write.mode("overwrite").option("header", "true").csv(p)
         s.read
@@ -33,7 +53,7 @@ object FormatQueries {
 
     QueryDef("fmt_json_roundtrip",
       (s, dir) => {
-        val p = s"${root(dir)}/docs_json"
+        val p = s"${checkedRoot(dir)}/docs_json"
         QueryDef.table(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"))
           .write.mode("overwrite").json(p)
@@ -50,7 +70,7 @@ object FormatQueries {
     // impl/duckdb_case-when.py:123) — oracle re-reads the zstd files.
     QueryDef("fmt_parquet_zstd",
       (s, dir) => {
-        val p = s"${root(dir)}/orders_zstd"
+        val p = s"${checkedRoot(dir)}/orders_zstd"
         QueryDef.table(s, dir, "orders")
           .write.mode("overwrite").option("compression", "zstd").parquet(p)
         s.read.parquet(p)
@@ -63,16 +83,24 @@ object FormatQueries {
              |FROM read_parquet('/root/repo/target/fmt/sf0.01/orders_zstd/*.parquet')
              |GROUP BY o_orderpriority""".stripMargin)),
 
-    // ORC is Spark-native; DuckDB can't read it back -> rows-only gate.
+    // ORC is Spark-native; DuckDB can't read ORC, so the same source
+    // frame is also written as a parquet twin and the oracle aggregates
+    // THAT — the engine aggregates the read-back ORC, so a hash match
+    // proves the ORC write+read round trip preserved every value.
     QueryDef("fmt_orc_roundtrip",
       (s, dir) => {
-        val p = s"${root(dir)}/orders_orc"
-        QueryDef.table(s, dir, "orders")
-          .write.mode("overwrite").orc(p)
+        val p = s"${checkedRoot(dir)}/orders_orc"
+        val twin = s"${checkedRoot(dir)}/orders_orc_twin"
+        val src = QueryDef.table(s, dir, "orders")
+        src.write.mode("overwrite").orc(p)
+        src.write.mode("overwrite").parquet(twin)
         s.read.orc(p)
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       },
-      None)
+      Some(s"""SELECT o_orderstatus, count(*) AS n,
+              | round(sum(o_totalprice), 2) AS total
+              |FROM read_parquet('$OracleRoot/orders_orc_twin/*.parquet')
+              |GROUP BY o_orderstatus""".stripMargin))
   )
 }

@@ -143,13 +143,16 @@ object LlmQueries {
       },
       Some(s"$simhashCtes SELECT doc_id, simhash FROM s")),
 
-    // SimHash near-dup pairs via 16-bit-half banding + Hamming rescoring.
+    // SimHash near-dup pairs via 16-bit-half banding + Hamming rescoring
+    // (mega-bucket guard mirrored as the HAVING <= 64 clause).
     QueryDef("llm_dedup_simhash",
       (s, dir) => Dedup.simhashPairs(QueryDef.table(s, dir, "documents"), "doc_id", "text"),
       Some(s"""$simhashCtes,
-              |b AS (SELECT doc_id, simhash, unnest([
+              |b0 AS (SELECT doc_id, simhash, unnest([
               |   'lo:' || CAST(simhash % 65536 AS VARCHAR),
               |   'hi:' || CAST(simhash // 65536 AS VARCHAR)]) AS band FROM s),
+              |b AS (SELECT * FROM b0 WHERE band IN
+              |  (SELECT band FROM b0 GROUP BY band HAVING count(*) <= 64)),
               |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
               |   bit_count(xor(a.simhash, b2.simhash)) AS hamming
               |  FROM b a JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
@@ -258,16 +261,20 @@ object LlmQueries {
            | round(sim + 0.000001, 4) AS sim FROM r WHERE rnk <= 3""".stripMargin
       }),
 
-    // Sign-bit LSH bucketed cosine near-dup pairs (never all-pairs).
+    // Sign-bit LSH bucketed cosine near-dup pairs (never all-pairs;
+    // 12-bit buckets + the mega-bucket HAVING <= 64 guard, mirroring
+    // Embeddings.lshCosinePairs defaults).
     QueryDef("llm_emb_neardup",
       (s, dir) => Embeddings.lshCosinePairs(
           QueryDef.table(s, dir, "embeddings"), "vec_id", "embedding")
         .select(col("id_a"), col("id_b"),
           round(col("sim") + lit(1e-6), 4).as("sim")),
       Some {
-        val bucket = "array_to_string(list_transform(range(1, 9), " +
+        val bucket = "array_to_string(list_transform(range(1, 13), " +
           "i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')"
-        s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+        s"""WITH b0 AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+           |b AS (SELECT * FROM b0 WHERE bucket IN
+           |  (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= 64)),
            |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
            |   ${cosSql("a.embedding", "b2.embedding")} AS sim
            |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)

@@ -71,11 +71,20 @@ object StreamingQueries {
     // Streaming dedup over a source with every event duplicated (two
     // file copies): exactly-once per event_id must survive, i.e. the
     // plain distinct count of the original table.
+    //
+    // maxFilesPerTrigger = MaxValue pins BOTH copies into ONE micro-batch:
+    // dropDuplicatesWithinWatermark evicts state once the 1-day watermark
+    // passes an event, and files don't arrive in event-time order, so a
+    // duplicate split into a later micro-batch could be re-emitted after
+    // its twin's state was evicted. Exactness over an unbounded multi-batch
+    // stream would instead need a watermark covering the table's full time
+    // span (unbounded state) — the gate run asserts the single-batch form.
     QueryDef("stream_dedup",
       (s, dir) => {
         val src = stageSource(s, dir, "dedup", copies = 2)
         val res = runBounded(s,
-          EventsStream.dedup(EventsStream.readEvents(s, src)),
+          EventsStream.dedup(
+            EventsStream.readEvents(s, src, maxFilesPerTrigger = Some(Int.MaxValue))),
           "graft_stream_dedup", OutputMode.Append())
         res.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_unique"),

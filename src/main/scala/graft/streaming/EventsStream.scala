@@ -26,11 +26,22 @@ object EventsStream {
   final case class UserRunning(
       user_id: Long, n_events: Long, total_value: Double)
 
-  /** Unbounded stream of events from a growing parquet directory. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
+  /** Unbounded stream of events from a growing parquet directory.
+    *
+    * `maxFilesPerTrigger` bounds (or, set high, effectively unbounds)
+    * each micro-batch. Callers whose correctness depends on event-time
+    * ordering across batches must size it deliberately: the file source
+    * does NOT replay files in event-time order, so a watermarked stateful
+    * op (e.g. [[dedup]]) seeing late files in a later micro-batch may
+    * have already evicted the state those events need.
+    */
+  def readEvents(
+      spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
       .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
-      .parquet(dir)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n)).parquet(dir)
+  }
 
   /** Tumbling daily windows per event type; watermark bounds the window
     * state to ~1 day of late data (batch twin: q15_event_windows).

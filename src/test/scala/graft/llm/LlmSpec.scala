@@ -83,6 +83,45 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(res == Seq(1L, 4L, 2L, 3L), s"got $res")
   }
 
+  test("simhash mega-bucket guard: degenerate corpus produces no pair explosion") {
+    // 200 identical docs land every copy in the same lo/hi band buckets
+    // (size 200 > 64): unguarded, the self-join would emit 19,900 flood
+    // pairs; the guard drops the mega buckets while the two unique near
+    // dups (bucket size <= 2) still pair up.
+    val flood = (0L until 200L).map(i => (i, "common boilerplate text repeated across the whole corpus body"))
+    // Exact-dup planted pair: identical docs share BOTH 16-bit halves
+    // (guaranteed candidate at hamming 0), while a one-token edit may
+    // flip bits in both halves and legitimately miss the banding.
+    val planted = Seq(
+      (900L, "a genuinely unique sentence about glaciers calving into arctic fjords"),
+      (901L, "a genuinely unique sentence about glaciers calving into arctic fjords"))
+    val docs = (flood ++ planted).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 < 200L || p._2 < 200L),
+      s"mega-bucket flood pairs leaked: ${pairs.size} pairs")
+    assert(pairs == Set((900L, 901L)), s"planted near-dup lost: $pairs")
+  }
+
+  test("embedding mega-bucket guard: one hot orthant produces no pair explosion") {
+    // 200 distinct vectors share the all-positive sign pattern (one
+    // bucket of 200 > 64 — the realistic normalized-embedding skew);
+    // guarded, they contribute zero pairs, while a planted near-identical
+    // pair in its own orthant survives.
+    val rnd = new scala.util.Random(42)
+    val flood = (0L until 200L).map { i =>
+      (i, Array.fill(12)(0.1f + rnd.nextFloat()))
+    }
+    val v = Array.fill(12)(-0.5f - rnd.nextFloat())
+    val planted = Seq((900L, v), (901L, v.map(x => x * 1.01f)))
+    val emb = (flood ++ planted).toDF("vec_id", "embedding")
+    val pairs = Embeddings.lshCosinePairs(emb, "vec_id", "embedding", minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 < 200L || p._2 < 200L),
+      s"hot-orthant flood pairs leaked: ${pairs.size} pairs")
+    assert(pairs == Set((900L, 901L)), s"planted near-dup lost: $pairs")
+  }
+
   test("sign-bucket LSH pairs identical vectors at cosine 1") {
     val emb = Seq(
       (0L, Array(0.5f, 0.5f, -0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f)),

@@ -46,6 +46,21 @@ class MinHashSignatureSpec extends AnyFunSuite with SparkSpec {
     assert(native == hof)
   }
 
+  test("shingle producers never emit an empty array (native/HOF divergence guard)") {
+    // On empty input the native kernel emits Long.MaxValue slots while the
+    // HOF formulation (array_min of empty) yields NULLs — the documented
+    // precondition is that no shingle producer ever feeds either an empty
+    // array. Pin it on the degenerate inputs: empty string, one char, one
+    // token, fewer tokens than the shingle width.
+    val df = Seq((0L, ""), (1L, "x"), (2L, "one"), (3L, "two words"))
+      .toDF("id", "text")
+    val sizes = df.select(
+        size(TextFunctions.wordShingles(TextFunctions.tokens($"text"), 3)).as("w"),
+        size(TextFunctions.charShingles($"text", 4)).as("c"))
+      .collect().flatMap(r => Seq(r.getInt(0), r.getInt(1)))
+    assert(sizes.forall(_ >= 1), s"empty shingle array produced: ${sizes.toSeq}")
+  }
+
   test("codegen and interpreted paths agree") {
     val df = Seq((1L, Seq(7L, 8L, 9L))).toDF("id", "hs")
     def run(): Seq[Long] = df
