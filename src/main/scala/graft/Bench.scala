@@ -1,7 +1,7 @@
 package graft
 
 import graft.datagen.DataGen
-import graft.features.{AggregatorStrategy, CaseWhenStrategy, FeatureSpec, MapGroupsStrategy, PivotRollupStrategy}
+import graft.features.{AggregatorStrategy, AutoStrategy, CaseWhenStrategy, FeatureSpec, MapGroupsStrategy, PivotRollupStrategy}
 import graft.queries.RefWorkload
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SaveMode}
@@ -67,6 +67,7 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
     val tiny = RefWorkload.tinyPath
     for ((name, strat) <- Seq(
+        "ref_tiny_auto" -> AutoStrategy,
         "ref_tiny_aggregator" -> AggregatorStrategy,
         "ref_tiny_pivot" -> PivotRollupStrategy,
         "ref_tiny_casewhen" -> CaseWhenStrategy,

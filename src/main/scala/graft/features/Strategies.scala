@@ -26,16 +26,82 @@ trait FeatureStrategy {
   def apply(df: DataFrame, spec: FeatureSpec): DataFrame
 }
 
+/** Picks the compilation strategy from the spec shape — the optimizer the
+  * engine owns (SURVEY.md §4): the reference hand-picks an implementation
+  * per benchmark run; graft picks for the user.
+  *
+  * Decision table (pinned by StrategyEquivalenceSpec):
+  *   - `features ≤ CaseWhenStrategy.MaxSingleAggFeatures` →
+  *     [[CaseWhenStrategy]]: the spec-canonical single conditional
+  *     aggregate — one scan, one shuffle, codegen-eligible at this width.
+  *   - wider → [[AggregatorStrategy]]: one scan + one shuffle of typed
+  *     ObjectHashAggregate state; the fastest measured shape for wide
+  *     specs at every scale (BENCH tiny: 10.3 s vs ~40 s chunked
+  *     case-when) and the only one whose scan count and shuffle volume
+  *     are both minimal.
+  *
+  * Key cardinality deliberately does not enter the rule: both branches
+  * shuffle only aggregated state, and AggregatorStrategy degrades
+  * gracefully to sort-based aggregation past the ObjectHashAggregate
+  * fallback threshold (sized in GraftSession).
+  */
+object AutoStrategy extends FeatureStrategy {
+
+  def choose(spec: FeatureSpec): FeatureStrategy =
+    if (spec.features.length <= CaseWhenStrategy.MaxSingleAggFeatures)
+      CaseWhenStrategy
+    else AggregatorStrategy
+
+  def apply(df: DataFrame, spec: FeatureSpec): DataFrame = choose(spec)(df, spec)
+}
+
 /** Single-pass conditional aggregation: `agg_k(CASE WHEN cond THEN x END)`
-  * for every (tuple, window, agg) combo, all inside one `agg()` call so
+  * for every (tuple, window, agg) combo inside one `agg()` call so
   * Catalyst plans Scan -> partial HashAggregate -> Exchange(key) -> final
   * HashAggregate: exactly one shuffle of pre-aggregated state regardless of
   * input size — the skew-immune, 100TB-safe shape.
+  *
+  * ==The wide-spec cliff and the chunked form==
+  * A 2,080-expression aggregate cannot be whole-stage-codegen'd: it is
+  * over `codegen.maxFields` (100), and raising the limit doesn't help —
+  * the generated `doAggregateWithKeysOutput` blows Janino's 64 KB method
+  * limit and falls back to interpreted with compile overhead on top
+  * (measured: 98.6 s vs 87.8 s at tiny). Worse, interpreted evaluation
+  * drags a ~17 KB aggregation buffer per key through every row. So specs
+  * wider than [[CaseWhenStrategy.MaxSingleAggFeatures]] are compiled as
+  * k sub-aggregates of ≤ that many features over the SAME grouping key,
+  * stitched back with inner equi-joins on the key (exact: every chunk
+  * aggregates every input row, so all chunks emit the identical key
+  * set). Each chunk's agg output is already hash-partitioned on the key,
+  * so the join stage adds sorts but NO extra exchange, and no stage ever
+  * shuffles raw rows.
+  *
+  * Why it wins (measured sweep at tiny, 17.3M rows, chunk sizes 32 →
+  * 2,080): monolith 84 s; chunk 320 ≈ 40-45 s; chunk ≤ 64 (small enough
+  * to re-enter whole-stage codegen) LOSES again at 72-94 s to per-chunk
+  * scan/join overhead. The win is not codegen — it's 6.5× smaller
+  * per-key aggregate state (cache-resident buffers) and k independent
+  * stages saturating the cores. The trade is k scans of the pruned
+  * ~6-column input; at petabyte scale re-scanning is the wrong trade,
+  * which is why [[AutoStrategy]] routes wide specs to
+  * [[AggregatorStrategy]] (one scan, one shuffle) and the chunked form
+  * serves callers who explicitly want case-when semantics in the plan.
   */
 object CaseWhenStrategy extends FeatureStrategy {
 
-  def apply(df: DataFrame, spec: FeatureSpec): DataFrame = {
-    val exprs = spec.features.map { f =>
+  /** Widest single `agg()` before chunking. 320 minimizes end-to-end
+    * time in the measured sweep (see object doc): big enough that the
+    * ~7-way join stitch stays cheap, small enough that per-key partial
+    * state (~2.6 KB vs ~17 KB monolithic) stays cache-resident.
+    */
+  val MaxSingleAggFeatures = 320
+
+  def apply(df: DataFrame, spec: FeatureSpec): DataFrame =
+    chunked(df, spec, aggExprs(spec), MaxSingleAggFeatures)
+
+  /** One aliased conditional-aggregate expression per feature. */
+  private[graft] def aggExprs(spec: FeatureSpec): Seq[Column] =
+    spec.features.map { f =>
       val fam = spec.groupings(f.familyIdx)
       val cond = fam.cols.zip(f.tuple).foldLeft(col(spec.timeCol) <= lit(f.window)) {
         case (acc, (c, v)) => acc && col(c) === lit(v)
@@ -55,8 +121,17 @@ object CaseWhenStrategy extends FeatureStrategy {
       }
       e.as(f.name)
     }
-    df.groupBy(col(spec.keyCol)).agg(exprs.head, exprs.tail: _*)
-  }
+
+  /** Visible chunk-size knob for measurement (CodegenProbe) and tuning. */
+  private[graft] def chunked(
+      df: DataFrame, spec: FeatureSpec,
+      exprs: Seq[Column], chunkSize: Int): DataFrame =
+    if (exprs.length <= chunkSize)
+      df.groupBy(col(spec.keyCol)).agg(exprs.head, exprs.tail: _*)
+    else
+      exprs.grouped(chunkSize).toSeq
+        .map(ch => df.groupBy(col(spec.keyCol)).agg(ch.head, ch.tail: _*))
+        .reduce((l, r) => l.join(r, Seq(spec.keyCol)))
 }
 
 /** Bucket -> pivot(known values) -> exact algebraic roll-up, in one scan.

@@ -108,6 +108,9 @@ object RefWorkload {
     strategyQuery("ref_trx_pivot", PivotRollupStrategy),
     strategyQuery("ref_trx_mapgroups", MapGroupsStrategy),
     strategyQuery("ref_trx_aggregator", AggregatorStrategy),
+    // The engine-chosen strategy (AutoStrategy routes the 2,080-wide
+    // reference spec to AggregatorStrategy) — same oracle as the rest.
+    strategyQuery("ref_trx_auto", AutoStrategy),
     datagenStats,
     globScan
   )

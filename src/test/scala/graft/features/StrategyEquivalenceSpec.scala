@@ -61,6 +61,16 @@ class StrategyEquivalenceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("AutoStrategy decision table: narrow specs stay case-when, wide go aggregator") {
+    assert(AutoStrategy.choose(spec) == CaseWhenStrategy,
+      s"${spec.features.length}-feature spec should compile as the canonical case-when")
+    assert(AutoStrategy.choose(FeatureSpec.reference) == AggregatorStrategy,
+      "the 2,080-feature reference spec should route to the one-scan aggregator")
+    // and the routed plan produces the canonical answer
+    val df = randomFrame(11L, 300)
+    assert(collectSorted(AutoStrategy(df, spec)) == collectSorted(CaseWhenStrategy(df, spec)))
+  }
+
   test("all strategies emit the canonical output schema") {
     val df = randomFrame(7L, 100)
     val expected = spec.outputColumns
