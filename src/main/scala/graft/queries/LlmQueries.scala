@@ -282,6 +282,54 @@ object LlmQueries {
            |FROM p WHERE sim >= 0.2""".stripMargin
       }),
 
+    // ANN recall gate: recall@3 of the LSH probe against the brute-force
+    // ground truth, per query — the IVF/LSH quality trade as a measured,
+    // oracle-checked number instead of prose. Deterministic data ⇒
+    // deterministic recall; DuckDB recomputes BOTH result sets.
+    QueryDef("llm_emb_recall",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 50)
+        val k = 3
+        val bf = Embeddings.bruteForceTopK(emb, q, "vec_id", "embedding", k)
+          .select(col("query_id"), col("neighbor_id"))
+        val ls = Embeddings.lshTopK(emb, q, "vec_id", "embedding", bits = 4, k = k)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = ls.join(bf, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
+        q.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("__h"), lit(0L)).as("n_hits"),
+            round(coalesce(col("__h"), lit(0L)) / lit(k.toDouble) + lit(1e-6), 4).as("recall"))
+      },
+      Some {
+        val bucket = "array_to_string(list_transform(range(1, 5), " +
+          "i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')"
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           |  FROM embeddings WHERE vec_id < 50),
+           |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+           |   ${cosSql("q.qe", "e.embedding")} AS sim
+           |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+           |bf AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |  FROM s) WHERE rnk <= 3),
+           |b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+           |j AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |   ${cosSql("qq.embedding", "c.embedding")} AS sim
+           |  FROM b qq JOIN b c ON qq.bucket = c.bucket AND c.vec_id != qq.vec_id
+           |  WHERE qq.vec_id < 50),
+           |ls AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |  FROM j) WHERE rnk <= 3),
+           |h AS (SELECT ls.query_id, count(*) AS n FROM ls
+           |  JOIN bf ON ls.query_id = bf.query_id AND ls.neighbor_id = bf.neighbor_id
+           |  GROUP BY 1)
+           |SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           | round(coalesce(h.n, 0) / 3.0 + 0.000001, 4) AS recall
+           |FROM q LEFT JOIN h ON q.query_id = h.query_id""".stripMargin
+      }),
+
     // Multimodal-adjacent: array-typed column stats per label.
     QueryDef("llm_emb_stats",
       (s, dir) => QueryDef.table(s, dir, "embeddings")
