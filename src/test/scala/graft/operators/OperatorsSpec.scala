@@ -57,6 +57,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(4) == 2.0)
   }
 
+  test("approx aggregates land within tolerance of exact (driver gate can't check q26)") {
+    val li = graft.queries.QueryDef.table(spark, "/root/testdata/sf0.01", "lineitem")
+    val r = li.agg(
+      countDistinct($"l_orderkey").as("exact_d"),
+      approx_count_distinct($"l_orderkey").as("approx_d"),
+      expr("percentile_approx(l_quantity, 0.5, 10000)").as("approx_p50"),
+      expr("percentile(l_quantity, 0.45)").as("p45"),
+      expr("percentile(l_quantity, 0.55)").as("p55")
+    ).collect().head
+    val (exactD, approxD) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.05,
+      s"approx_count_distinct $approxD vs exact $exactD drifted >5%")
+    val (p50, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(p50 >= lo && p50 <= hi,
+      s"approx p50 $p50 outside exact rank band [$lo, $hi]")
+  }
+
   test("bucketed tables co-locate the equi-join: zero exchanges") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
