@@ -156,6 +156,46 @@ object Dedup {
       call_function("graft_simhash", hashes, lit(32))
     else TextFunctions.simhash(hashes)
 
+  /** Connected components of a near-dup pair graph: every document gets
+    * `cluster_id` = the smallest doc id reachable through pairs
+    * (singletons keep their own id), which is what turns pairwise LSH
+    * output into an actionable dedup decision — keep `id == cluster_id`,
+    * drop the rest.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min label among itself and its neighbors; converges in
+    * O(log diameter) rounds (near-dup components are tiny and dense, so
+    * 2-3 rounds in practice; GraphX's connectedComponents is the same
+    * fixpoint). Scale shape per round: one O(E) equi-join + one O(V+E)
+    * aggregation — all shuffle-parallel, nothing driver-side except the
+    * per-round convergence count; `localCheckpoint` cuts the growing
+    * lineage so plan size stays constant across rounds.
+    */
+  def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ids = docs.select(col(idCol).cast("long").as("id")).distinct()
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .persist()
+    var labels = ids.select(col("id"), col("id").as("label")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaNeighbors = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("p"), Seq("id"))
+        .filter(col("n.label") =!= col("p.label")).count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** Character-n-gram Jaccard near-dup pairs: same banded-LSH candidate
     * generation, but over character 4-grams — robust to token-boundary
     * edits where word shingles are brittle.

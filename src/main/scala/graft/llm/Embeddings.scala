@@ -100,6 +100,38 @@ object Embeddings {
       .filter(col("rnk") <= k)
   }
 
+  /** Multi-probe variant of [[lshTopK]]: each query probes its own sign
+    * bucket PLUS every bucket at Hamming distance 1 (bits+1 probes
+    * total) — the standard multi-probe LSH recall recovery: a near
+    * neighbor differing in exactly one leading sign is found at ~(bits+1)×
+    * the single-probe candidate cost instead of being lost. Corpus
+    * vectors live in exactly one bucket, so probe buckets are distinct
+    * and no (query, neighbor) pair is scored twice. The corpus side
+    * still never shuffles: the (still small) exploded query set is
+    * broadcast.
+    */
+  def lshTopKMultiProbe(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, bits: Int, k: Int): DataFrame = {
+    val b0 = signBucket(col(vecCol), bits)
+    def flip(i: Int): Column = concat(
+      substring(b0, 1, i - 1),
+      when(substring(b0, i, 1) === "1", lit("0")).otherwise(lit("1")),
+      substring(b0, i + 1, bits - i))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(array(b0 +: (1 to bits).map(flip): _*)).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** LSH-bucketed cosine near-duplicate pairs: candidates share a sign
     * bucket (equi-join on the bucket key — never all-pairs), then exact
     * cosine rescoring on candidates only.

@@ -62,11 +62,13 @@ object LlmQueries {
     s"len(list_intersect($a, $b))::DOUBLE" +
       s" / len(list_distinct(list_concat($a, $b)))::DOUBLE"
 
-  /** banded-LSH near-dup pair oracle (word or char shingles); mirrors
-    * Dedup.lshPairs including the mega-bucket guard (HAVING <= 64).
+  /** CTE chain computing banded-LSH candidate pairs + exact Jaccard as
+    * `j(id_a, id_b, jac)`; mirrors Dedup.lshPairs including the
+    * mega-bucket guard (HAVING <= 64). Shared by the pair oracles and
+    * the cluster oracle.
     */
-  private def lshPairsSql(shingleExpr: String, minJ: Double): String =
-    s"""WITH t AS ($toksCte),
+  private def lshPairsCtes(shingleExpr: String): String =
+    s"""t AS ($toksCte),
        |s AS (SELECT doc_id, $shingleExpr AS sh FROM t),
        |hh AS (SELECT doc_id, list_transform(sh, x -> ${hashFoldSql("x")}) AS hs FROM s),
        |b0 AS (SELECT doc_id, unnest(${bandsSql("hs", 6, 2)}) AS band FROM hh),
@@ -75,7 +77,11 @@ object LlmQueries {
        |c AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b FROM b a
        |  JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id GROUP BY 1, 2),
        |j AS (SELECT id_a, id_b, ${jaccardSql("sa.sh", "sb.sh")} AS jac
-       |  FROM c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b)
+       |  FROM c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b)""".stripMargin
+
+  /** banded-LSH near-dup pair oracle (word or char shingles). */
+  private def lshPairsSql(shingleExpr: String, minJ: Double): String =
+    s"""WITH ${lshPairsCtes(shingleExpr)}
        |SELECT id_a, id_b, round(jac + 0.000001, 4) AS jaccard
        |FROM j WHERE jac >= $minJ""".stripMargin
 
@@ -133,6 +139,26 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"),
           round(col("jaccard") + lit(1e-6), 4).as("jaccard")),
       Some(lshPairsSql(charShingles4, 0.5))),
+
+    // Near-dup CLUSTER resolution: connected components over the
+    // MinHash-LSH pair graph (min reachable doc id as cluster_id, every
+    // doc present, singletons = own id). The oracle walks the same graph
+    // with a recursive CTE — label-set saturation instead of iterative
+    // propagation, same fixpoint.
+    QueryDef("llm_dedup_clusters",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        Dedup.nearDupClusters(docs, "doc_id",
+          Dedup.minhashPairs(docs, "doc_id", "text"))
+      },
+      Some(s"""WITH RECURSIVE ${lshPairsCtes(shingles3)},
+              |pr AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+              |e AS (SELECT id_a AS src, id_b AS dst FROM pr
+              |  UNION ALL SELECT id_b, id_a FROM pr),
+              |r AS (SELECT doc_id AS id, doc_id AS lbl FROM documents
+              |  UNION SELECT e.dst AS id, r.lbl FROM r JOIN e ON e.src = r.id)
+              |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+              |FROM r GROUP BY id""".stripMargin)),
 
     // SimHash values per document.
     QueryDef("llm_simhash",
@@ -319,6 +345,58 @@ object LlmQueries {
            |   ${cosSql("qq.embedding", "c.embedding")} AS sim
            |  FROM b qq JOIN b c ON qq.bucket = c.bucket AND c.vec_id != qq.vec_id
            |  WHERE qq.vec_id < 50),
+           |ls AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |  FROM j) WHERE rnk <= 3),
+           |h AS (SELECT ls.query_id, count(*) AS n FROM ls
+           |  JOIN bf ON ls.query_id = bf.query_id AND ls.neighbor_id = bf.neighbor_id
+           |  GROUP BY 1)
+           |SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           | round(coalesce(h.n, 0) / 3.0 + 0.000001, 4) AS recall
+           |FROM q LEFT JOIN h ON q.query_id = h.query_id""".stripMargin
+      }),
+
+    // Same recall gate for the MULTI-PROBE LSH variant (own bucket +
+    // all Hamming-1 buckets): the measured recall recovery over
+    // llm_emb_recall's single probe, at (bits+1)x candidate cost.
+    QueryDef("llm_emb_recall_mp",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 50)
+        val k = 3
+        val bf = Embeddings.bruteForceTopK(emb, q, "vec_id", "embedding", k)
+          .select(col("query_id"), col("neighbor_id"))
+        val ls = Embeddings.lshTopKMultiProbe(emb, q, "vec_id", "embedding", bits = 4, k = k)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = ls.join(bf, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
+        q.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("__h"), lit(0L)).as("n_hits"),
+            round(coalesce(col("__h"), lit(0L)) / lit(k.toDouble) + lit(1e-6), 4).as("recall"))
+      },
+      Some {
+        val bucket = "array_to_string(list_transform(range(1, 5), " +
+          "i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')"
+        val probes = "list_concat([bucket], list_transform(range(1, 5), " +
+          "i -> substr(bucket, 1, i-1) || " +
+          "(CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END) || " +
+          "substr(bucket, i+1)))"
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           |  FROM embeddings WHERE vec_id < 50),
+           |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+           |   ${cosSql("q.qe", "e.embedding")} AS sim
+           |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+           |bf AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |  FROM s) WHERE rnk <= 3),
+           |b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+           |qp AS (SELECT vec_id, embedding, unnest($probes) AS bucket
+           |  FROM b WHERE vec_id < 50),
+           |j AS (SELECT qp.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |   ${cosSql("qp.embedding", "c.embedding")} AS sim
+           |  FROM qp JOIN b c ON qp.bucket = c.bucket AND c.vec_id != qp.vec_id),
            |ls AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
            |  FROM j) WHERE rnk <= 3),

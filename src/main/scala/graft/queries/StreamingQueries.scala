@@ -68,6 +68,28 @@ object StreamingQueries {
              | count(*) AS n_events, round(sum(value), 2) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // Stream-static dimension join: streamed events enriched with the
+    // static customer table (broadcast per micro-batch), aggregated by
+    // market segment — must equal the batch join the oracle runs.
+    QueryDef("stream_enrich",
+      (s, dir) => {
+        val src = stageSource(s, dir, "enrich", copies = 1)
+        val dim = QueryDef.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val res = runBounded(s,
+          EventsStream.enriched(
+              EventsStream.readEvents(s, src), dim, "user_id", "c_custkey")
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n_events"),
+              round(sum(col("value")), 2).as("total_value")),
+          "graft_stream_enrich", OutputMode.Complete())
+        res.select(col("c_mktsegment"), col("n_events"), col("total_value"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_events,
+             | round(sum(value), 2) AS total_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin)),
+
     // Streaming dedup over a source with every event duplicated (two
     // file copies): exactly-once per event_id must survive, i.e. the
     // plain distinct count of the original table.

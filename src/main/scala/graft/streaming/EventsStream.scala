@@ -62,6 +62,21 @@ object EventsStream {
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join — the streaming dimension join every
+    * event pipeline needs: each micro-batch inner-joins the static
+    * (slowly-changing) dimension frame, planned as a broadcast hash join
+    * per batch — no streaming state, no watermark, and the stream side
+    * never shuffles. Re-reading the dimension per batch is the
+    * stream-static contract (a dimension update is picked up by the next
+    * batch).
+    */
+  def enriched(
+      events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      events(eventKey) === dim(dimKey))
+
   /** Running per-user counters via flatMapGroupsWithState — the
     * incremental form of the feature-store query: each micro-batch folds
     * its events into per-user state and emits the updated feature row.

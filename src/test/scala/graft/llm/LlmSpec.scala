@@ -122,6 +122,41 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((900L, 901L)), s"planted near-dup lost: $pairs")
   }
 
+  test("near-dup clusters: min-label propagation resolves chains and singletons") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1-2-3 (transitive: 1 and 3 never paired directly), pair 8-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.nearDupClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L,
+      "chain must collapse to the min id transitively")
+    assert(out(8L) == 8L && out(9L) == 8L)
+    assert(Seq(4L, 5L, 6L, 7L, 10L).forall(i => out(i) == i), "singletons keep their id")
+    assert(out.size == 10)
+    // the fixture corpus end-to-end: docs 0/1 exact dups + 2 near dup
+    val full = Dedup.nearDupClusters(fixture, "doc_id",
+        Dedup.minhashPairs(fixture, "doc_id", "text", minJaccard = 0.4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full(0L) == 0L && full(1L) == 0L && full(2L) == 0L)
+    assert(full(3L) == 3L && full(4L) == 4L)
+  }
+
+  test("multi-probe LSH recovers the neighbor one sign flip away") {
+    val emb = Seq(
+      (0L, Array(0.1f, 0.9f, 0.9f, 0.9f)),  // query: bucket 1111
+      (1L, Array(-0.1f, 0.9f, 0.9f, 0.9f)), // high-cosine neighbor in 0111
+      (2L, Array(0.9f, 0.8f, 0.7f, 0.9f))   // same-bucket neighbor
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0L)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(1)).toSet
+    assert(ids(Embeddings.lshTopK(emb, q, "vec_id", "embedding", 4, 2)) == Set(2L),
+      "single probe should only see its own bucket")
+    assert(ids(Embeddings.lshTopKMultiProbe(emb, q, "vec_id", "embedding", 4, 2)) == Set(1L, 2L),
+      "multi-probe should add the Hamming-1 bucket's neighbor")
+  }
+
   test("sign-bucket LSH pairs identical vectors at cosine 1") {
     val emb = Seq(
       (0L, Array(0.5f, 0.5f, -0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f)),
