@@ -47,6 +47,61 @@ object Bench {
       secs
     }
 
+    // SPARK_GRAFT_REF_SCALE=small|medium: scale-evidence mode — run ONLY
+    // the reference workload (datagen + strategies) at that size and
+    // exit. The strategy list shrinks as data grows: at medium (1.7B
+    // rows) the chunked case-when and raw-row mapgroups forms are
+    // measured in hours against BASELINE.md's own hours-long
+    // counterparts (17,653 s / 1,132 s) and add no scaling signal the
+    // small run doesn't already give — the scale question is whether the
+    // one-shuffle agg shapes hold, so those are what medium runs.
+    sys.env.get("SPARK_GRAFT_REF_SCALE").foreach { scale =>
+      val (cfg, strategies) = scale match {
+        case "small" => (DataGen.Small, Seq(
+          "ref_auto" -> AutoStrategy, "ref_aggregator" -> AggregatorStrategy,
+          "ref_pivot" -> PivotRollupStrategy, "ref_casewhen" -> CaseWhenStrategy,
+          "ref_mapgroups" -> MapGroupsStrategy))
+        case "medium" => (DataGen.Medium, Seq(
+          "ref_auto" -> AutoStrategy, "ref_aggregator" -> AggregatorStrategy,
+          "ref_pivot" -> PivotRollupStrategy))
+        // The `big` preset's GEOMETRY (730 hive partitions, 1 day each)
+        // at 1/100 the customers: full big is ~18B rows / ~117 GB parquet
+        // (measured 11 GB at medium × 10.6× rows) — beyond this host's
+        // free disk — but the partition-count stress (730-dir discovery,
+        // per-partition writes, t_minus spread over 730 distinct values)
+        // is shape, not volume, and this exercises it end to end.
+        case "bigshape" => (DataGen.Config(10000L, 730, 1), Seq(
+          "ref_auto" -> AutoStrategy, "ref_aggregator" -> AggregatorStrategy,
+          "ref_pivot" -> PivotRollupStrategy))
+        case other => sys.error(s"unknown SPARK_GRAFT_REF_SCALE '$other'")
+      }
+      val path = s"${RefWorkload.dataRoot}/$scale"
+      val rs = scala.collection.mutable.LinkedHashMap[String, Double]()
+      rs("warmup") = timed(spark.range(0, 1000000).toDF("n"))
+      rs("datagen") = {
+        deleteRecursively(new java.io.File(path))
+        timed2(RefWorkload.ensure(spark, cfg, path))
+      }
+      // Untimed full-decode pass (noop sink): without it the FIRST
+      // strategy pays the cold page-cache read of the just-regenerated
+      // dataset (measured 235 s vs 88 s for the same plan at medium) and
+      // cross-strategy numbers stop being comparable.
+      spark.read.parquet(path).write.format("noop").mode("overwrite").save()
+      for ((name, strat) <- strategies)
+        rs(name) =
+          try timed(strat(spark.read.parquet(path), FeatureSpec.reference))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val total = rs.values.filter(_ >= 0).sum
+      val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"ref_$scale"}"""
+      Files.writeString(OutFile, json)
+      println(json)
+      spark.stop()
+      return
+    }
+
     // JVM/codegen warmup so the first measured query isn't charged for
     // session spin-up (the reference times session creation per-impl; our
     // per-query numbers share one session, recorded under "warmup").

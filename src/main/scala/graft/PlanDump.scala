@@ -16,7 +16,8 @@ object PlanDump {
         "aggregator" -> features.AggregatorStrategy,
         "pivot_rollup" -> features.PivotRollupStrategy,
         "case_when" -> features.CaseWhenStrategy,
-        "map_groups" -> features.MapGroupsStrategy)) {
+        "map_groups" -> features.MapGroupsStrategy,
+        "auto" -> features.AutoStrategy)) {
       val df = strat(spark.read.parquet(path), features.FeatureSpec.reference)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
