@@ -1,0 +1,44 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines: dataset mixing
+  * needs per-stratum rates (e.g. upsample low-resource languages,
+  * downsample crawl boilerplate) that are REPRODUCIBLE — the same row
+  * set on every run, engine, partitioning and retry. So membership is a
+  * pure function of the row id: a content-hash bucket compared against
+  * the stratum's rate. No `rand()` (non-reproducible across retries /
+  * partitionings), no `sample()` (same problem).
+  *
+  * Scale shape: a codegen'd filter — no shuffle, no state; pushes the
+  * usual column pruning through and composes with any downstream plan.
+  * md5 keeps the bucket oracle-checkable across engines
+  * (TextFunctions doc); swap xxhash64 in production if parity is not
+  * needed.
+  */
+object Sampling {
+
+  val Buckets = 10000
+
+  /** Stable bucket in [0, Buckets) from the row id's md5 (first 8 hex
+    * digits — same fold as TextFunctions.shingleHashes, so the DuckDB
+    * oracle reproduces it digit for digit).
+    */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % Buckets
+
+  /** Keep each row with its stratum's probability (integer
+    * per-ten-thousand thresholds, so the comparison is exact — no float
+    * boundary). Strata absent from `rates` fall back to `defaultRate`.
+    */
+  def stratified(
+      df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    def threshold(r: Double): Column = lit(math.round(r * Buckets))
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(threshold(defaultRate)) {
+      case (acc, (k, r)) => when(col(stratumCol) === lit(k), threshold(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < thr)
+  }
+}

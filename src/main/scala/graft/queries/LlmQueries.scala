@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Dedup, Embeddings, TextFunctions => TF}
+import graft.llm.{Dedup, Embeddings, Sampling, TextFunctions => TF}
 import org.apache.spark.sql.functions._
 
 /** LLM training-data pipeline queries over the driver's `documents` and
@@ -185,6 +185,20 @@ object LlmQueries {
               |  GROUP BY 1, 2, 3)
               |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
               |FROM p WHERE hamming <= 6""".stripMargin)),
+
+    // Deterministic stratified sampling (dataset-mixing primitive):
+    // per-language keep rates as a pure function of md5(doc_id) — same
+    // row set on every run/engine/partitioning; the oracle reproduces
+    // the exact bucket arithmetic.
+    QueryDef("llm_sample_stratified",
+      (s, dir) => Sampling.stratified(
+          QueryDef.table(s, dir, "documents"), "doc_id", "lang",
+          rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang")),
+      Some(s"""SELECT doc_id, lang FROM documents
+              |WHERE ${hashFoldSql("CAST(doc_id AS VARCHAR)")} % 10000 <
+              |  (CASE WHEN lang = 'en' THEN 5000
+              |        WHEN lang = 'de' THEN 2500 ELSE 1000 END)""".stripMargin)),
 
     // Corpus stats: per (lang, source) token/char aggregates.
     QueryDef("llm_text_stats",

@@ -68,6 +68,31 @@ object StreamingQueries {
              | count(*) AS n_events, round(sum(value), 2) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // Streaming sessionization: the batch q24 session windows as an
+    // incremental stateful aggregation — same 30-minute gap, same
+    // DuckDB islands oracle, hash-equal output (streaming/batch parity
+    // for MERGING session state, not just tumbling windows).
+    QueryDef("stream_session",
+      (s, dir) => {
+        val src = stageSource(s, dir, "session", copies = 1)
+        runBounded(s,
+          EventsStream.sessionCounts(EventsStream.readEvents(s, src)),
+          "graft_stream_session", OutputMode.Complete())
+          .select(col("user_id"), col("session_start"),
+            col("n_events"), col("session_value"))
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+             |   FROM events),
+             | x AS (SELECT user_id, ts, value,
+             |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+             |   THEN 1 ELSE 0 END AS new_s FROM e),
+             | y AS (SELECT user_id, ts, value,
+             |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM x)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+             | round(sum(value), 2) AS session_value
+             |FROM y GROUP BY user_id, sid""".stripMargin)),
+
     // Stream-static dimension join: streamed events enriched with the
     // static customer table (broadcast per micro-batch), aggregated by
     // market segment — must equal the batch join the oracle runs.

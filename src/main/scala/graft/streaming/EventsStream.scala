@@ -62,6 +62,21 @@ object EventsStream {
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark("event_id")
 
+  /** Session windows, streamed: same 30-minute-gap sessionization as the
+    * batch q24, as an incremental stateful aggregation — session state
+    * merges as events arrive and is bounded by the watermark. State
+    * shards by (user, session) across executors like every stateful op
+    * here.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
   /** Stream-static enrichment join — the streaming dimension join every
     * event pipeline needs: each micro-batch inner-joins the static
     * (slowly-changing) dimension frame, planned as a broadcast hash join

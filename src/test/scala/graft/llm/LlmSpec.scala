@@ -142,6 +142,23 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(full(3L) == 3L && full(4L) == 4L)
   }
 
+  test("stratified sampling is deterministic, partition-independent, rate-honoring") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val rates = Map("en" -> 0.5, "de" -> 0.1)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.stratified(df, "doc_id", "lang", rates)
+        .collect().map(_.getLong(0)).toSet
+    val a = ids(docs)
+    assert(ids(docs) == a, "same input must sample identically")
+    assert(ids(docs.repartition(13)) == a, "partitioning must not change membership")
+    val en = a.count(_ % 2 == 0).toDouble / 1000
+    val de = a.count(_ % 2 == 1).toDouble / 1000
+    assert(math.abs(en - 0.5) < 0.06, s"en rate drifted: $en")
+    assert(math.abs(de - 0.1) < 0.04, s"de rate drifted: $de")
+  }
+
   test("multi-probe LSH recovers the neighbor one sign flip away") {
     val emb = Seq(
       (0L, Array(0.1f, 0.9f, 0.9f, 0.9f)),  // query: bucket 1111

@@ -46,6 +46,17 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L) == null, "no right row at or before -> NULL")
   }
 
+  test("as-of join ignores right rows with NULL key or NULL time (SQL ASOF semantics)") {
+    val left = Seq((1L, 10L, 300L)).toDF("id", "k", "t")
+    val right = Seq(
+      (Some(10L), None: Option[Long], "null-time"),   // would sort NULLS FIRST and leak
+      (None: Option[Long], Some(100L), "null-key"),
+      (Some(10L), Some(200L), "real")
+    ).toDF("k", "t", "payload")
+    val r = AsOfJoin.backward(left, right, "k", "t", Seq("payload")).collect().head
+    assert(r.getString(3) == "real", s"NULL right rows must never match, got ${r.getString(3)}")
+  }
+
   test("as-of join carries whole right rows, not per-column lasts") {
     val left = Seq((1L, 10L, 300L)).toDF("id", "k", "t")
     val right = Seq(
