@@ -121,6 +121,9 @@ object Bench {
         timed2(RefWorkload.ensure(spark, DataGen.Tiny, RefWorkload.tinyPath))
       } catch { case _: Throwable => -1.0 }
     val tiny = RefWorkload.tinyPath
+    // untimed full-decode warm pass, same reason as the scale mode: the
+    // first strategy otherwise pays the cold read of the regenerated data
+    spark.read.parquet(tiny).write.format("noop").mode("overwrite").save()
     for ((name, strat) <- Seq(
         "ref_tiny_auto" -> AutoStrategy,
         "ref_tiny_aggregator" -> AggregatorStrategy,

@@ -68,4 +68,34 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         payloadCols.map(c => col(s"__asof.$c").as(s"$c$suffix")): _*)
   }
+
+  /** Forward as-of join: for every left row, the right row with the
+    * SMALLEST `timeCol` >= the left row's time within the same key —
+    * "next event at or after" (inclusive tie, mirroring [[backward]]).
+    *
+    * Implemented by time negation over the backward machinery: negate
+    * both sides' times, run the backward carry-forward, restore the
+    * original time column. Same single-shuffle O(n log n) shape, no
+    * pairwise expansion; oracle = DuckDB `ASOF JOIN ... ON l.t <= r.t`.
+    */
+  def forward(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, timeCol: String,
+      payloadCols: Seq[String], suffix: String = "_asof"): DataFrame = {
+    val negate: DataFrame => DataFrame =
+      df => df.withColumn(timeCol, negateCol(df, timeCol))
+    val joined = backward(negate(left), negate(right), keyCol, timeCol,
+      payloadCols, suffix)
+    joined.withColumn(timeCol, negateCol(joined, timeCol))
+  }
+
+  /** Negation that round-trips exactly for numeric and timestamp types
+    * (timestamps negate through microseconds-since-epoch).
+    */
+  private def negateCol(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        timestamp_micros(-unix_micros(col(c)))
+      case _ => -col(c)
+    }
 }

@@ -200,6 +200,47 @@ object LlmQueries {
               |  (CASE WHEN lang = 'en' THEN 5000
               |        WHEN lang = 'de' THEN 2500 ELSE 1000 END)""".stripMargin)),
 
+    // Vocabulary building: top-5 most frequent tokens per language
+    // (count by (lang, token) -> per-lang rank window). Ties broken
+    // lexicographically so both engines rank identically.
+    QueryDef("llm_vocab_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("token"))
+        QueryDef.table(s, dir, "documents")
+          .select(col("lang"), explode(TF.tokens(col("text"))).as("token"))
+          .groupBy(col("lang"), col("token"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("lang"), col("token"), col("n"), col("rnk"))
+      },
+      Some("""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+             |   FROM documents),
+             | c AS (SELECT lang, token, count(*) AS n FROM t GROUP BY 1, 2),
+             | r AS (SELECT lang, token, n, row_number() OVER
+             |   (PARTITION BY lang ORDER BY n DESC, token) AS rnk FROM c)
+             |SELECT lang, token, n, CAST(rnk AS INT) AS rnk
+             |FROM r WHERE rnk <= 5""".stripMargin)),
+
+    // Decontamination: flag corpus documents whose EXACT content appears
+    // in an eval/benchmark set (here: every 50th doc stands in as the
+    // eval set) — a left_semi on the content hash, the scale shape of
+    // every train/test-overlap check (shuffle key is the 32-byte hash,
+    // never document bytes; the eval side broadcasts when small).
+    QueryDef("llm_decontaminate",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        val eval_ = docs.filter(col("doc_id") % 50 === 0)
+          .select(sha2(col("text"), 256).as("__h"))
+        docs.join(broadcast(eval_),
+            sha2(col("text"), 256) === col("__h"), "left_semi")
+          .select(col("doc_id"), col("lang"))
+      },
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE text IN (SELECT text FROM documents WHERE doc_id % 50 = 0)""".stripMargin)),
+
     // Corpus stats: per (lang, source) token/char aggregates.
     QueryDef("llm_text_stats",
       (s, dir) => QueryDef.table(s, dir, "documents")

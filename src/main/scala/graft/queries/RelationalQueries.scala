@@ -358,6 +358,30 @@ object RelationalQueries {
              |FROM e ASOF LEFT JOIN c
              | ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin)),
 
+    // Forward ASOF: for each error event, the NEXT click at or after it
+    // by the same user (time-negated backward machinery; DuckDB oracle
+    // flips the inequality).
+    QueryDef("q27_asof_forward",
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+        graft.operators.AsOfJoin
+          .forward(errors, clicks, "user_id", "ts",
+            Seq("click_id", "click_value"), suffix = "")
+          .select(col("event_id"), col("user_id"),
+            col("click_id"), round(col("click_value"), 4).as("click_value"))
+      },
+      Some("""WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+             | c AS (SELECT * FROM events WHERE event_type = 'click')
+             |SELECT e.event_id, e.user_id, c.event_id AS click_id,
+             | round(c.value, 4) AS click_value
+             |FROM e ASOF LEFT JOIN c
+             | ON e.user_id = c.user_id AND e.ts <= c.ts""".stripMargin)),
+
     // Range (interval) join: equi key + time-band condition — clicks in
     // the hour before each error. Catalyst plans the equi part as the
     // join key (shuffle by user) and the band as a join-side filter, so

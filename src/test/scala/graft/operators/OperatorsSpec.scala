@@ -46,6 +46,24 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out(4L) == null, "no right row at or before -> NULL")
   }
 
+  test("forward as-of join matches the earliest right row at-or-after each left row") {
+    val left = Seq(
+      (1L, 10L, 100L), (2L, 10L, 250L), (3L, 10L, 500L)
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, 100L, "a"), (10L, 200L, "b"), (10L, 400L, "c")
+    ).toDF("k", "t", "payload")
+    val out = AsOfJoin.forward(left, right, "k", "t", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "a", "tie at t=100 matches inclusively")
+    assert(out(2L) == "c", "t=250 takes the next click at 400")
+    assert(out(3L) == null, "nothing after t=500 -> NULL")
+    // time column round-trips unchanged through the negation
+    val ts = AsOfJoin.forward(left, right, "k", "t", Seq("payload"))
+      .collect().map(_.getLong(2)).toSet
+    assert(ts == Set(100L, 250L, 500L))
+  }
+
   test("as-of join ignores right rows with NULL key or NULL time (SQL ASOF semantics)") {
     val left = Seq((1L, 10L, 300L)).toDF("id", "k", "t")
     val right = Seq(
