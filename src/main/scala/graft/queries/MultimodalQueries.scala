@@ -19,7 +19,79 @@ object MultimodalQueries {
       "i -> CAST(strpos('0123456789abcdef', substring(sha256(text), i, 1)) - 1 AS BIGINT)), " +
       "(a, b) -> a*16 + b)"
 
+  /** Engine-side asset table: documents' text bytes as binary payloads. */
+  private def assets(s: org.apache.spark.sql.SparkSession, dir: String) =
+    QueryDef.table(s, dir, "documents").select(
+      col("doc_id").as("asset_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"))
+
+  /** Oracle-side decoded CTE (mirror of Multimodal.fakeMeta). */
+  private val decodedCte =
+    s"""a AS (SELECT doc_id AS asset_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |  text FROM documents),
+       |d AS (SELECT asset_id, kind,
+       |  octet_length(encode(text)) AS n_bytes,
+       |  160 + (${hexLong(1)} % 1760) AS width,
+       |  120 + (${hexLong(9)} % 960) AS height,
+       |  CASE WHEN kind = 'video' THEN 1 + (${hexLong(17)} % 240) ELSE 1 END AS n_frames
+       | FROM a)""".stripMargin
+
+  /** DuckDB: byte `i` (0-based) of sha-256(text) as 0..255. */
+  private def hexByte(i: Int): String = {
+    def nib(p: Int) =
+      s"CAST(strpos('0123456789abcdef', substring(sha256(text), $p, 1)) - 1 AS BIGINT)"
+    s"(${nib(2 * i + 1)} * 16 + ${nib(2 * i + 2)})"
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Frame sampling: every 24th frame index per video asset — the
+    // explode-shaped pre-processing stage of a frame-level pipeline.
+    QueryDef("mm_frames",
+      (s, dir) => Multimodal.sampleFrames(Multimodal.decode(assets(s, dir)))
+        .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx")),
+      Some(s"""WITH $decodedCte
+              |SELECT asset_id, CAST(unnest(range(0, n_frames, 24)) AS BIGINT) AS frame_idx
+              |FROM d WHERE kind = 'video'""".stripMargin)),
+
+    // Resize planning: aspect-preserving fit into a 512 box (pure column
+    // arithmetic; the pixel kernel is the documented stub boundary).
+    QueryDef("mm_resize",
+      (s, dir) => Multimodal.resize(Multimodal.decode(assets(s, dir)))
+        .select(col("asset_id"), col("kind"), col("width"), col("height"),
+          col("out_width"), col("out_height")),
+      Some(s"""WITH $decodedCte,
+              |r AS (SELECT asset_id, kind, width, height,
+              |  least(512.0 / width, 512.0 / height, 1.0) AS scale FROM d)
+              |SELECT asset_id, kind, CAST(width AS INT) AS width,
+              | CAST(height AS INT) AS height,
+              | CAST(floor(width * scale) AS INT) AS out_width,
+              | CAST(floor(height * scale) AS INT) AS out_height
+              |FROM r""".stripMargin)),
+
+    // Fake-embedding stage: per-asset squared norm of the digest-derived
+    // vector — (byte-128)/128 values are dyadic, so the double sums are
+    // bit-identical across engines and the scalar hash-compares exactly.
+    QueryDef("mm_embed",
+      (s, dir) => {
+        val emb = Multimodal.fakeEmbedding(assets(s, dir))
+        emb.select(col("asset_id"),
+          round(graft.llm.Embeddings.dot(col("embedding"), col("embedding"))
+            + lit(1e-6), 4).as("norm2"))
+      },
+      Some {
+        val terms = (0 until 16)
+          .map(i => s"pow((${hexByte(i)} - 128) / 128.0, 2)").mkString(" + ")
+        s"""WITH a AS (SELECT doc_id AS asset_id, text FROM documents)
+           |SELECT asset_id, round(($terms) + 0.000001, 4) AS norm2
+           |FROM a""".stripMargin
+      }),
+
     QueryDef("mm_decode_stats",
       (s, dir) => {
         val docs = QueryDef.table(s, dir, "documents")

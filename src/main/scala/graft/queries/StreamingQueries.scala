@@ -68,6 +68,29 @@ object StreamingQueries {
              | count(*) AS n_events, round(sum(value), 2) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // Stream-stream interval join: the q23 range correlation with BOTH
+    // sides streamed (state-buffered, watermark-evicted). One micro-batch
+    // (maxFilesPerTrigger pin) so no match is lost to cross-batch state
+    // eviction; inner matches emit append-mode without finalization.
+    QueryDef("stream_interval_join",
+      (s, dir) => {
+        val src = stageSource(s, dir, "ssjoin", copies = 1)
+        val all = EventsStream.readEvents(s, src, maxFilesPerTrigger = Some(Int.MaxValue))
+        val res = runBounded(s,
+          EventsStream.intervalJoin(
+            all.filter(col("event_type") === "error"),
+            all.filter(col("event_type") === "click")),
+          "graft_stream_ssjoin", OutputMode.Append())
+        res.select(col("event_id"), col("user_id"), col("click_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |   FROM events WHERE event_type = 'error'),
+             | c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |   FROM events WHERE event_type = 'click')
+             |SELECT e.event_id, e.user_id, c.click_id
+             |FROM e JOIN c ON e.user_id = c.user_id
+             | AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts < e.ts""".stripMargin)),
+
     // Streaming sessionization: the batch q24 session windows as an
     // incremental stateful aggregation — same 30-minute gap, same
     // DuckDB islands oracle, hash-equal output (streaming/batch parity

@@ -77,6 +77,27 @@ object EventsStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join: errors correlated with the same user's
+    * clicks in the preceding hour — both sides are unbounded streams, so
+    * Spark buffers each side's rows in join state and the watermarks
+    * plus the time-range condition bound how long: a click older than
+    * (watermark - 1 hour) can never match a future error and its state
+    * is evicted. Inner-join matches emit as soon as both rows have
+    * arrived (no finalization wait). The streaming twin of the q23
+    * batch range join.
+    */
+  def intervalJoin(errors: DataFrame, clicks: DataFrame): DataFrame = {
+    val e = errors.withWatermark("ts", "1 day")
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 day")
+    e.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("ts"))
+  }
+
   /** Stream-static enrichment join — the streaming dimension join every
     * event pipeline needs: each micro-batch inner-joins the static
     * (slowly-changing) dimension frame, planned as a broadcast hash join
