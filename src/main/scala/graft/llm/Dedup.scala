@@ -196,6 +196,29 @@ object Dedup {
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** The dedup ACTION on top of [[nearDupClusters]]: one kept document
+    * per cluster — highest [[TextFunctions.qualityScore]], ties to the
+    * smallest id — plus the member count, which is the decision record a
+    * production dedup emits (what was kept, what it replaced). One
+    * window over the cluster id; the cluster frame is the expensive
+    * input and is computed once.
+    */
+  def keepBest(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = nearDupClusters(docs, idCol, pairs)
+    val scored = docs
+      .select(col(idCol), TextFunctions.qualityScore(col(textCol)).as("__q"))
+      .join(clusters, idCol)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__q").desc, col(idCol))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col(idCol).as("kept_id"), col("n_members"))
+  }
+
   /** Character-n-gram Jaccard near-dup pairs: same banded-LSH candidate
     * generation, but over character 4-grams — robust to token-boundary
     * edits where word shingles are brittle.

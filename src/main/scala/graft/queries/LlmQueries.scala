@@ -160,6 +160,64 @@ object LlmQueries {
               |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
               |FROM r GROUP BY id""".stripMargin)),
 
+    // The dedup decision record: per near-dup cluster, keep the highest-
+    // quality member (ties -> smallest id) with the member count.
+    QueryDef("llm_dedup_keep_best",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        Dedup.keepBest(docs, "doc_id", "text",
+          Dedup.minhashPairs(docs, "doc_id", "text"))
+      },
+      Some {
+        val stop = TF.Stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH RECURSIVE ${lshPairsCtes(shingles3)},
+           |pr AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM pr
+           |  UNION ALL SELECT id_b, id_a FROM pr),
+           |r AS (SELECT doc_id AS id, doc_id AS lbl FROM documents
+           |  UNION SELECT e.dst AS id, r.lbl FROM r JOIN e ON e.src = r.id),
+           |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY id),
+           |q AS (SELECT doc_id,
+           |  0.3 * least(len(w)::DOUBLE / 100.0, 1.0)
+           |  + 0.4 * (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE)
+           |  + 0.3 * (1.0 - len(list_filter(w, x -> x IN ($stop)))::DOUBLE / len(w)::DOUBLE)
+           |  AS qual FROM t),
+           |k AS (SELECT cl.cluster_id, cl.doc_id, row_number() OVER
+           |   (PARTITION BY cl.cluster_id ORDER BY q.qual DESC, cl.doc_id) AS rn,
+           |   count(*) OVER (PARTITION BY cl.cluster_id) AS n
+           |  FROM cl JOIN q ON q.doc_id = cl.doc_id)
+           |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           | doc_id AS kept_id, CAST(n AS BIGINT) AS n_members
+           |FROM k WHERE rn = 1""".stripMargin
+      }),
+
+    // Fuzzy decontamination: flag corpus docs sharing ANY 8-token
+    // shingle with the eval set (the n-gram-overlap check real
+    // decontamination pipelines run; exact-match is llm_decontaminate).
+    // Eval shingles are distinct'd then broadcast; the corpus side
+    // explodes, semi-joins, re-distincts — only shingle hashes and doc
+    // ids ever shuffle.
+    QueryDef("llm_decontaminate_ngram",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        val evalGrams = docs.filter(col("doc_id") % 50 === 0)
+          .select(explode(TF.wordShingles(TF.tokens(col("text")), 8)).as("g"))
+          .distinct()
+        docs.select(col("doc_id"), col("lang"),
+            explode(TF.wordShingles(TF.tokens(col("text")), 8)).as("g"))
+          .join(broadcast(evalGrams), Seq("g"), "left_semi")
+          .select(col("doc_id"), col("lang"))
+          .distinct()
+      },
+      Some {
+        val sh8 = "list_transform(range(1, greatest(len(w)-7, 1)+1), " +
+          "i -> array_to_string(w[i:i+7], ' '))"
+        s"""WITH t2 AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+           |s AS (SELECT doc_id, lang, unnest($sh8) AS g FROM t2),
+           |ev AS (SELECT DISTINCT g FROM s WHERE doc_id % 50 = 0)
+           |SELECT DISTINCT doc_id, lang FROM s WHERE g IN (SELECT g FROM ev)""".stripMargin
+      }),
+
     // SimHash values per document.
     QueryDef("llm_simhash",
       (s, dir) => {

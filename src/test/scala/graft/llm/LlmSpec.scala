@@ -142,6 +142,17 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(full(3L) == 3L && full(4L) == 4L)
   }
 
+  test("keepBest emits one decision row per cluster with member counts") {
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBest(fixture, "doc_id", "text", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 3, s"clusters {0,1,2}, {3}, {4} -> 3 rows, got ${out.toSeq}")
+    val byCluster = out.map(t => t._1 -> t).toMap
+    assert(byCluster(0L)._3 == 3L, "merged cluster has 3 members")
+    assert(Set(0L, 1L, 2L).contains(byCluster(0L)._2))
+    assert(byCluster(3L) == ((3L, 3L, 1L)) && byCluster(4L) == ((4L, 4L, 1L)))
+  }
+
   test("stratified sampling is deterministic, partition-independent, rate-honoring") {
     import org.apache.spark.sql.functions.col
     val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
