@@ -93,6 +93,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("rank-filter top-k plans as WindowGroupLimit (bounded per-group state, no full sort-all)") {
+    // Catalyst's InferWindowGroupLimit rewrites `filter(row_number <= k)`
+    // into partial+final WindowGroupLimitExec: each task keeps only k rows
+    // per group BEFORE the shuffle — the optimization that makes the
+    // window-based top-k formulations (q9, llm_emb_topk*) safe at scale.
+    // Pin it so a formulation change that silently loses the rewrite
+    // (e.g. rank filter hidden behind a non-deterministic expr) fails.
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.queries.QueryDef.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val w = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val topk = emb.withColumn("r", row_number().over(w)).filter(col("r") <= 3)
+    // AQE's root is opaque to collect(), so assert on the plan string:
+    // both the Partial (pre-shuffle, the part that bounds state) and the
+    // Final mode must be present.
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      "expected partial WindowGroupLimit in:\n" + plan.take(2000))
+  }
+
   test("relational q2 filter+projection push down to the scan") {
     val df = graft.queries.QueryDef.table(spark, "/root/testdata/sf0.001", "lineitem")
       .filter(col("l_quantity") > lit(45.0))
