@@ -103,6 +103,40 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       s"approx p50 $p50 outside exact rank band [$lo, $hi]")
   }
 
+  test("as-of joins match a naive reference on randomized inputs (ties, NULLs, gaps)") {
+    val rng = new java.util.SplittableRandom(17)
+    def maybeNull[T](v: T): Option[T] = if (rng.nextInt(10) == 0) None else Some(v)
+    val left = (0 until 300).map(i =>
+      (i.toLong, rng.nextLong(8), rng.nextLong(50))).toDF("id", "k", "t")
+    val rightRows = (0 until 300).map(i =>
+      (maybeNull(rng.nextLong(8)), maybeNull(rng.nextLong(50)), i.toLong))
+    val right = rightRows.toDF("k", "t", "payload")
+
+    // naive reference: scan all right rows per left row
+    val cleanRight = rightRows.collect { case (Some(k), Some(t), p) => (k, t, p) }
+    def expected(back: Boolean): Map[Long, Option[Long]] =
+      left.collect().map { r =>
+        val (id, k, t) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val cands = cleanRight.filter(c => c._1 == k && (if (back) c._2 <= t else c._2 >= t))
+        val best =
+          if (cands.isEmpty) None
+          // nearest time wins; ties at equal time -> max payload id is NOT
+          // defined by the operator, so only compare the matched TIME
+          else Some(if (back) cands.map(_._2).max else cands.map(_._2).min)
+        id -> best
+      }.toMap
+
+    def gotTimes(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] = {
+      // map matched payload back to its right-row time (None when NULL)
+      val byPayload = cleanRight.map(c => c._3 -> c._2).toMap
+      df.collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(3)) None else Some(byPayload(r.getLong(3))))
+      }.toMap
+    }
+    assert(gotTimes(AsOfJoin.backward(left, right, "k", "t", Seq("payload"))) == expected(back = true))
+    assert(gotTimes(AsOfJoin.forward(left, right, "k", "t", Seq("payload"))) == expected(back = false))
+  }
+
   test("bucketed tables co-locate the equi-join: zero exchanges") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
