@@ -69,6 +69,22 @@ class SkewStressSpec extends AnyFunSuite with SparkSpec {
     recs.asScala.toSeq
   }
 
+  test("aggregator's sort-based fallback (threshold exceeded) is result-identical") {
+    // SCALE.md claims "graceful sort-based fallback beyond the
+    // ObjectHashAggregate threshold — no OOM cliff". Force the fallback
+    // (threshold 4 « 10k keys) and pin that the answer is unchanged.
+    val df = hotKeyFrame.cache()
+    try {
+      val expected = collectSorted(AggregatorStrategy(df, spec))
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4")
+      try {
+        val fallback = collectSorted(AggregatorStrategy(df, spec))
+        assert(fallback == expected, "sort-based fallback diverged from hash path")
+      } finally spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+    } finally { df.unpersist(); () }
+  }
+
   test("all strategies agree on the hot-key corpus") {
     val df = hotKeyFrame.cache()
     try {
