@@ -57,16 +57,22 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 6, rowsPerBand: Int = 2,
       minJaccard: Double = 0.5,
-      maxBucketSize: Int = 64): DataFrame =
+      maxBucketSize: Int = 64,
+      fastHash: Boolean = false): DataFrame =
     lshPairs(
       docs.select(col(idCol).as("id"),
         TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), 3).as("sh")),
-      bands, rowsPerBand, minJaccard, maxBucketSize)
+      bands, rowsPerBand, minJaccard, maxBucketSize, fastHash)
 
-  /** Shared banded-LSH pipeline over a pre-shingled `(id, sh)` frame. */
+  /** Shared banded-LSH pipeline over a pre-shingled `(id, sh)` frame.
+    * `fastHash` swaps the oracle-parity md5 base hash for xxhash64 —
+    * the production setting when DuckDB comparability isn't needed
+    * (TextFunctions.shingleHashesFast doc).
+    */
   private def lshPairs(
       sh0: DataFrame, bands: Int, rowsPerBand: Int,
-      minJaccard: Double, maxBucketSize: Int): DataFrame = {
+      minJaccard: Double, maxBucketSize: Int,
+      fastHash: Boolean = false): DataFrame = {
     // Persist the shingle and band frames: each feeds 2-3 plan branches
     // (bucket census + both self-join sides / both rescoring joins), and
     // without a cache Spark re-computes the k x shingles MinHash tree per
@@ -83,7 +89,9 @@ object Dedup {
         call_function("graft_minhash_sig", col("__hs"), lit(k))
       else TextFunctions.minhashSignature(col("__hs"), k)
     val sh = sh0
-      .withColumn("__hs", TextFunctions.shingleHashes(col("sh")))
+      .withColumn("__hs",
+        if (fastHash) TextFunctions.shingleHashesFast(col("sh"))
+        else TextFunctions.shingleHashes(col("sh")))
       .withColumn("__sig", sigCol)
       .persist()
     val banded = sh.select(col("id"),

@@ -28,6 +28,21 @@ object Sampling {
   def hashBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % Buckets
 
+  /** Weighted corpus mixing: each source frame is sampled at its own
+    * rate (hash salted by the source tag, so a row appearing in two
+    * sources draws independently) and tagged with `mix_source` — the
+    * dataset-mixture step of training-data assembly, as a union of
+    * deterministic filters: no shuffle, no state, scan-parallel per
+    * source. Schemas must align (unionByName).
+    */
+  def mix(sources: Seq[(String, DataFrame, Double)], idCol: String): DataFrame =
+    sources.map { case (tag, df, rate) =>
+      df.filter(
+          hashBucket(concat(lit(s"$tag:"), col(idCol).cast("string")))
+            < lit(math.round(rate * Buckets)))
+        .withColumn("mix_source", lit(tag))
+    }.reduce(_.unionByName(_))
+
   /** Keep each row with its stratum's probability (integer
     * per-ten-thousand thresholds, so the comparison is exact — no float
     * boundary). Strata absent from `rates` fall back to `defaultRate`.

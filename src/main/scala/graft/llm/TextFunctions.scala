@@ -61,6 +61,17 @@ object TextFunctions {
   def shingleHashes(shingles: Column): Column =
     transform(shingles, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
 
+  /** Production fast path: the same 32-bit base-hash contract via
+    * xxhash64 (codegen'd, no hex round-trip — the md5 tree dominates the
+    * LSH stage, see object doc). NOT oracle-parity: DuckDB has no
+    * xxhash64, so pipelines built on this can't be hash-compared — the
+    * gate uses [[shingleHashes]]; near-dup RESULTS are equivalent in
+    * distribution (any uniform 32-bit hash works for MinHash banding),
+    * pinned behaviorally by LlmSpec.
+    */
+  def shingleHashesFast(shingles: Column): Column =
+    transform(shingles, s => pmod(xxhash64(s), lit(1L << 32)))
+
   /** LSH band keys for banded MinHash: `bands` keys, each hashing
     * `rowsPerBand` consecutive signature values (+ the band index, so one
     * join column carries band identity). Two documents that share ANY

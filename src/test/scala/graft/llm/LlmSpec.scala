@@ -170,6 +170,29 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(de - 0.1) < 0.04, s"de rate drifted: $de")
   }
 
+  test("corpus mixing samples each source at its rate with independent draws") {
+    val a = (0L until 1000L).map(i => (i, s"a$i")).toDF("doc_id", "text")
+    val b = (0L until 1000L).map(i => (i, s"b$i")).toDF("doc_id", "text")
+    val out = Sampling.mix(Seq(("web", a, 0.5), ("books", b, 0.1)), "doc_id")
+      .collect().map(r => (r.getString(2), r.getLong(0)))
+    val web = out.count(_._1 == "web").toDouble / 1000
+    val books = out.count(_._1 == "books").toDouble / 1000
+    assert(math.abs(web - 0.5) < 0.06, s"web rate drifted: $web")
+    assert(math.abs(books - 0.1) < 0.04, s"books rate drifted: $books")
+    // tag-salted: the same id draws independently per source
+    val webIds = out.collect { case ("web", i) => i }.toSet
+    val bookIds = out.collect { case ("books", i) => i }.toSet
+    assert(!bookIds.subsetOf(webIds), "per-source draws should be independent")
+  }
+
+  test("fast-hash LSH finds the planted near-dups (production xxhash64 path)") {
+    val pairs = Dedup.minhashPairs(fixture, "doc_id", "text",
+        minJaccard = 0.4, fastHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup must survive the hash swap")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc matched")
+  }
+
   test("multi-probe LSH recovers the neighbor one sign flip away") {
     val emb = Seq(
       (0L, Array(0.1f, 0.9f, 0.9f, 0.9f)),  // query: bucket 1111
