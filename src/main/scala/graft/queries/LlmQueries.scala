@@ -299,6 +299,45 @@ object LlmQueries {
       Some("""SELECT doc_id, lang FROM documents
              |WHERE text IN (SELECT text FROM documents WHERE doc_id % 50 = 0)""".stripMargin)),
 
+    // End-to-end prep pipeline: quality filter -> stratified sample ->
+    // exact dedup (canonical doc survives) -> per-language stats. The
+    // composition gate: four operators chained as one lazy plan, the
+    // oracle re-running the whole chain in SQL. Thresholding on raw
+    // quality doubles is safe because both engines compute the identical
+    // IEEE expression (pinned by llm_quality).
+    QueryDef("llm_pipeline_e2e",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        val kept = docs.filter(TF.qualityScore(col("text")) >= 0.5)
+        val sampled = Sampling.stratified(kept, "doc_id", "lang",
+          rates = Map("en" -> 0.8), defaultRate = 0.5)
+        val canonical = Dedup.exact(sampled, "doc_id", "text")
+          .select(col("doc_id"))
+        sampled.join(canonical, Seq("doc_id"), "left_semi")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TF.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+      },
+      Some {
+        val stop = TF.Stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH t2 AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w
+           |  FROM documents),
+           |q AS (SELECT doc_id, lang, text, w,
+           |  0.3 * least(len(w)::DOUBLE / 100.0, 1.0)
+           |  + 0.4 * (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE)
+           |  + 0.3 * (1.0 - len(list_filter(w, x -> x IN ($stop)))::DOUBLE / len(w)::DOUBLE)
+           |  AS qual FROM t2),
+           |kept AS (SELECT * FROM q WHERE qual >= 0.5),
+           |samp AS (SELECT * FROM kept
+           |  WHERE ${hashFoldSql("CAST(doc_id AS VARCHAR)")} % 10000 <
+           |   (CASE WHEN lang = 'en' THEN 8000 ELSE 5000 END)),
+           |canon AS (SELECT min(doc_id) AS doc_id FROM samp GROUP BY text)
+           |SELECT lang, count(*) AS n_docs,
+           | CAST(sum(len(w)) AS BIGINT) AS sum_tokens
+           |FROM samp WHERE doc_id IN (SELECT doc_id FROM canon)
+           |GROUP BY lang""".stripMargin
+      }),
+
     // Corpus stats: per (lang, source) token/char aggregates.
     QueryDef("llm_text_stats",
       (s, dir) => QueryDef.table(s, dir, "documents")
