@@ -358,6 +358,36 @@ object RelationalQueries {
              |FROM e ASOF LEFT JOIN c
              | ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin)),
 
+    // Analytic window family beyond rank: lag/lead (order deltas per
+    // customer), ntile spend-quartile, running cumulative sum — each a
+    // single window pass over the same partitioned sort.
+    QueryDef("q28_analytics",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        table(s, dir, "orders")
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("run_total",
+            sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("prev_price"), 2).as("prev_price"),
+            round(col("next_price"), 2).as("next_price"),
+            col("quartile"),
+            round(col("run_total") + lit(1e-6), 2).as("run_total"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             | round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+             | round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+             | CAST(ntile(4) OVER w AS INT) AS quartile,
+             | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |   ORDER BY o_orderdate, o_orderkey
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 0.000001, 2) AS run_total
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
     // Forward ASOF: for each error event, the NEXT click at or after it
     // by the same user (time-negated backward machinery; DuckDB oracle
     // flips the inequality).
