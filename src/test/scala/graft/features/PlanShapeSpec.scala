@@ -93,6 +93,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("case-when chunking boundary: <=MaxSingleAggFeatures stays one shuffle") {
+    // The chunk threshold is a CONTRACT (SCALE.md cites it); pin that a
+    // spec at the boundary compiles to the single-agg plan and one past
+    // it splits in two.
+    def specOf(nFeatures: Int): FeatureSpec = {
+      // windows x aggs = 5 aggs; tuples chosen so features == nFeatures
+      val tuples = (0 until nFeatures / 5).map(i => Seq(s"v$i"))
+      FeatureSpec("k", "v", "t", Seq(7),
+        Seq(GroupingFamily(Seq("g1"), tuples)))
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val at = specOf(CaseWhenStrategy.MaxSingleAggFeatures)
+      val over = specOf(CaseWhenStrategy.MaxSingleAggFeatures + 5)
+      val df = spark.read.parquet(dataPath)
+        .withColumnRenamed("customer_id", "k")
+        .withColumnRenamed("trx_amnt", "v")
+        .withColumnRenamed("t_minus", "t")
+        .withColumnRenamed("card_type", "g1")
+      assert(shuffles(CaseWhenStrategy(df, at)) == 1)
+      assert(shuffles(CaseWhenStrategy(df, over)) == 2)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("rank-filter top-k plans as WindowGroupLimit (bounded per-group state, no full sort-all)") {
     // Catalyst's InferWindowGroupLimit rewrites `filter(row_number <= k)`
     // into partial+final WindowGroupLimitExec: each task keeps only k rows

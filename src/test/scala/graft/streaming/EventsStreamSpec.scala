@@ -76,6 +76,37 @@ class EventsStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops events later than the horizon; keeps those inside it") {
+    // windowedCounts holds a 1-day watermark. Advance event time to day
+    // 10 (watermark -> day 9), then send one event inside the horizon
+    // (day 9, counted) and one beyond it (day 5, DROPPED in append mode)
+    // — the state-bounding behavior the 100 TB story depends on,
+    // asserted rather than assumed.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("late_win")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Event(1, 10, "click", 1.0, ts(2)))
+      q.processAllAvailable()
+      in.addData(Event(2, 10, "click", 1.0, ts(10))) // watermark -> day 9
+      q.processAllAvailable()
+      in.addData(
+        Event(3, 10, "click", 1.0, ts(9, 12)), // inside horizon: kept
+        Event(4, 10, "click", 1.0, ts(5)))     // beyond horizon: dropped
+      q.processAllAvailable()
+      in.addData(Event(5, 10, "click", 1.0, ts(12))) // push watermark past day 9/10
+      q.processAllAvailable()
+      val emitted = spark.table("late_win").collect()
+        .map(r => r.getTimestamp(0).toString.take(10) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(emitted.contains("2024-01-02"), "on-time window must finalize")
+      assert(emitted("2024-01-09") == ((1L, 1.0)), "inside-horizon late event kept")
+      assert(!emitted.contains("2024-01-05"), "beyond-horizon event must be dropped")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user feature state") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
