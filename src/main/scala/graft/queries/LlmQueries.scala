@@ -258,6 +258,27 @@ object LlmQueries {
               |  (CASE WHEN lang = 'en' THEN 5000
               |        WHEN lang = 'de' THEN 2500 ELSE 1000 END)""".stripMargin)),
 
+    // Weighted corpus mixing: the src0 slice at a high rate + the rest
+    // at a low rate, tag-salted so draws are independent —
+    // oracle replays the per-source bucket arithmetic and the union.
+    QueryDef("llm_mix",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        Sampling.mix(Seq(
+            ("src0", docs.filter(col("source") === "src0"), 0.8),
+            ("rest", docs.filter(col("source") =!= "src0"), 0.2)), "doc_id")
+          .select(col("doc_id"), col("lang"), col("mix_source"))
+      },
+      Some {
+        def bucket(tag: String) =
+          hashFoldSql(s"'$tag:' || CAST(doc_id AS VARCHAR)") + " % 10000"
+        s"""SELECT doc_id, lang, 'src0' AS mix_source FROM documents
+           |WHERE source = 'src0' AND ${bucket("src0")} < 8000
+           |UNION ALL
+           |SELECT doc_id, lang, 'rest' AS mix_source FROM documents
+           |WHERE source != 'src0' AND ${bucket("rest")} < 2000""".stripMargin
+      }),
+
     // Vocabulary building: top-5 most frequent tokens per language
     // (count by (lang, token) -> per-lang rank window). Ties broken
     // lexicographically so both engines rank identically.
