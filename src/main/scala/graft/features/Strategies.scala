@@ -70,10 +70,11 @@ object AutoStrategy extends FeatureStrategy {
   * drags a ~17 KB aggregation buffer per key through every row. So specs
   * wider than [[CaseWhenStrategy.MaxSingleAggFeatures]] are compiled as
   * k sub-aggregates of ≤ that many features over the SAME grouping key,
-  * stitched back with inner equi-joins on the key (exact: every chunk
-  * aggregates every input row, so all chunks emit the identical key
-  * set). Each chunk's agg output is already hash-partitioned on the key,
-  * so the join stage adds sorts but NO extra exchange, and no stage ever
+  * stitched back with NULL-safe equi-joins on the key (exact: every
+  * chunk aggregates every input row, so all chunks emit the identical
+  * key set, including the NULL-key group — see [[chunked]]). Each
+  * chunk's agg output is already hash-partitioned on the key, so the
+  * join stage adds sorts but NO extra exchange, and no stage ever
   * shuffles raw rows.
   *
   * Why it wins (measured sweep at tiny, 17.3M rows, chunk sizes 32 →
@@ -122,16 +123,32 @@ object CaseWhenStrategy extends FeatureStrategy {
       e.as(f.name)
     }
 
-  /** Visible chunk-size knob for measurement (CodegenProbe) and tuning. */
+  /** Visible chunk-size knob for measurement (CodegenProbe) and tuning.
+    *
+    * The stitch join must be NULL-safe: `groupBy` emits a NULL-key group,
+    * and an inner equi-join on the bare key would silently drop it for
+    * wide specs while narrow (single-agg) specs keep it — output would
+    * depend on spec width. Each chunk therefore groups on `struct(key)`:
+    * a struct is never NULL even when its field is, and struct equality
+    * ranks NULL fields equal, so the plain equi-join keeps the NULL-key
+    * group AND both sides stay hash-partitioned on the SAME struct key —
+    * the stitch adds sorts but no exchange (a `<=>` join would instead
+    * rewrite the keys to coalesce/isnull pairs and force a re-shuffle of
+    * every chunk's aggregated output).
+    */
   private[graft] def chunked(
       df: DataFrame, spec: FeatureSpec,
       exprs: Seq[Column], chunkSize: Int): DataFrame =
     if (exprs.length <= chunkSize)
       df.groupBy(col(spec.keyCol)).agg(exprs.head, exprs.tail: _*)
-    else
-      exprs.grouped(chunkSize).toSeq
-        .map(ch => df.groupBy(col(spec.keyCol)).agg(ch.head, ch.tail: _*))
-        .reduce((l, r) => l.join(r, Seq(spec.keyCol)))
+    else {
+      val k = "__graft_stitch_key"
+      val joined = exprs.grouped(chunkSize).toSeq
+        .map(ch => df.groupBy(struct(col(spec.keyCol)).as(k)).agg(ch.head, ch.tail: _*))
+        .reduce((l, r) => l.join(r, Seq(k)))
+      val featCols = joined.columns.filter(_ != k).map(c => col(s"`$c`"))
+      joined.select(col(k).getField(spec.keyCol).as(spec.keyCol) +: featCols.toSeq: _*)
+    }
 }
 
 /** Bucket -> pivot(known values) -> exact algebraic roll-up, in one scan.

@@ -61,6 +61,57 @@ class StrategyEquivalenceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("NULL grouping keys survive every strategy AND the chunked stitch (ADVICE r3)") {
+    // Nullable key: groupBy emits a NULL-key group; the chunked case-when
+    // stitch must keep it (a bare inner equi-join would drop it, making
+    // output depend on spec width), and all four strategies must agree.
+    val nullableSchema = StructType(schema.fields.map {
+      case f if f.name == "k" => f.copy(nullable = true)
+      case f                  => f
+    })
+    val rng = new java.util.SplittableRandom(42L)
+    val g1s = Array("a", "b", "c", null)
+    val g2s = Array("x", "y", "z", null)
+    val rows = (0 until 400).map { _ =>
+      Row(
+        if (rng.nextInt(8) == 0) null else java.lang.Long.valueOf(rng.nextLong(10)),
+        g1s(rng.nextInt(g1s.length)),
+        g2s(rng.nextInt(g2s.length)),
+        rng.nextLong(45) - 5L,
+        if (rng.nextInt(5) == 0) null else rng.nextLong(160) / 8.0
+      )
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), nullableSchema)
+    def sorted(out: DataFrame): Seq[Seq[Any]] =
+      out.collect().toSeq.map(_.toSeq)
+        .sortBy(r => Option(r.head).map(_.asInstanceOf[Long]).getOrElse(Long.MinValue))
+    val single = sorted(CaseWhenStrategy(df, spec))
+    assert(single.exists(_.head == null), "expected a NULL-key output group")
+    // chunkSize=16 forces the multi-chunk stitch path on this 90-feature spec
+    val stitched = sorted(CaseWhenStrategy.chunked(
+      df, spec, CaseWhenStrategy.aggExprs(spec), 16))
+    assert(stitched == single, "chunked stitch diverged on NULL keys")
+    assert(sorted(PivotRollupStrategy(df, spec)) == single, "pivot diverged on NULL keys")
+    assert(sorted(MapGroupsStrategy(df, spec)) == single, "mapGroups diverged on NULL keys")
+    assert(sorted(AggregatorStrategy(df, spec)) == single, "aggregator diverged on NULL keys")
+  }
+
+  test("a literal \"null\" string key and a NULL key stay distinct groups in mapGroups") {
+    val s2 = StructType(Seq(
+      StructField("k", StringType, nullable = true),
+      StructField("g1", StringType, nullable = true),
+      StructField("g2", StringType, nullable = true),
+      StructField("t", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    val rows = Seq(
+      Row("null", "a", "x", 1L, 1.0),
+      Row(null, "a", "x", 1L, 2.0))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), s2)
+    val out = MapGroupsStrategy(df, spec).collect()
+    assert(out.length == 2, "NULL key and the string \"null\" must not merge")
+    assert(out.map(_.get(0)).toSet == Set("null", null))
+  }
+
   test("AutoStrategy decision table: narrow specs stay case-when, wide go aggregator") {
     assert(AutoStrategy.choose(spec) == CaseWhenStrategy,
       s"${spec.features.length}-feature spec should compile as the canonical case-when")
