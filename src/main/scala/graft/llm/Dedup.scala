@@ -15,15 +15,30 @@ import org.apache.spark.sql.functions._
   * [[simhashPairs]]) `persist()` intermediate frames (signatures / band
   * keys) because each feeds the bucket census plus both self-join sides —
   * without the cache Spark recomputes the hash tree per plan branch
-  * (measured 2× end-to-end). The cache lives until the session evicts it
-  * (MEMORY_AND_DISK, LRU): after materializing the result, callers that
-  * compose many pipelines in one session should release it via
-  * `spark.catalog.clearCache()` (what Verify/Bench do between queries) or
-  * `df.sparkSession.sharedState.cacheManager.clearCache()`. Unpersisting
-  * inside these methods is impossible — the returned DataFrame is lazy
-  * and still references the cached frames.
+  * (measured 2× end-to-end). Those caches are SCOPED: the (small) result
+  * frame is persisted and materialized before the method returns, and the
+  * intermediates are unpersisted on the way out — a long-lived session
+  * composing many pipelines accumulates nothing it didn't ask for, and no
+  * session-wide `clearCache()` is needed. The one cached handle left is
+  * the frame the caller holds; `unpersist()` it when done (or let LRU
+  * evict it).
   */
 object Dedup {
+
+  /** Persist + materialize `result`, then release the scoped
+    * `intermediates` caches (see the caching contract above). The
+    * materializing action runs while the intermediates are still cached,
+    * so the expensive hash tree is computed exactly once; afterwards the
+    * returned frame serves all downstream plans from its own (cached,
+    * fault-tolerant — recomputable on executor loss, unlike a local
+    * checkpoint) blocks.
+    */
+  private[llm] def scoped(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.persist()
+    out.count()
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
+  }
 
   /** Exact dedup: group by content hash, keep the smallest id as the
     * canonical copy. The shuffle key is the 32-byte sha2, not the
@@ -107,12 +122,14 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= lit(minJaccard))
+    scoped(
+      cands
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= lit(minJaccard)),
+      sh, banded)
   }
 
   /** SimHash near-duplicate pairs: 32-bit SimHash, banded into two
@@ -147,13 +164,15 @@ object Dedup {
       .filter(col("__n") <= maxBucketSize)
       .select(col("band"))
     val discriminative = banded.join(keep, Seq("band"), "left_semi")
-    discriminative.as("a")
-      .join(discriminative.as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= lit(maxHamming))
+    scoped(
+      discriminative.as("a")
+        .join(discriminative.as("b"),
+          col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= lit(maxHamming)),
+      banded)
   }
 
   /** 32-bit SimHash over a token-hash array column: the native one-pass
@@ -170,17 +189,34 @@ object Dedup {
     * output into an actionable dedup decision — keep `id == cluster_id`,
     * drop the rest.
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min label among itself and its neighbors; converges in
-    * O(log diameter) rounds (near-dup components are tiny and dense, so
-    * 2-3 rounds in practice; GraphX's connectedComponents is the same
-    * fixpoint). Scale shape per round: one O(E) equi-join + one O(V+E)
-    * aggregation — all shuffle-parallel, nothing driver-side except the
-    * per-round convergence count; `localCheckpoint` cuts the growing
-    * lineage so plan size stays constant across rounds.
+    * Algorithm: min-label propagation WITH pointer jumping — each round
+    * every node takes the min label among itself, its neighbors' labels,
+    * and its label's label (`label(label(u))`, the path-doubling step of
+    * Shiloach–Vishkin). Plain neighbor propagation alone walks one hop
+    * per round (O(diameter) rounds — a 100-node paraphrase chain would
+    * not converge in any fixed cap); the doubling step halves remaining
+    * pointer depth each round, so convergence is O(log diameter) and the
+    * [[MaxRounds]] cap (50 ⇒ diameters up to ~2^49) is unreachable for
+    * any physical graph. If the fixpoint is somehow not reached the
+    * method THROWS rather than return wrong cluster ids. Scale shape per
+    * round: two O(E)/O(V) equi-joins + one O(V+E) aggregation — all
+    * shuffle-parallel, nothing driver-side except the per-round
+    * convergence count; `localCheckpoint` cuts the growing lineage so
+    * plan size stays constant across rounds.
     */
-  def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    nearDupClustersWithRounds(docs, idCol, pairs)._1
+
+  /** Rounds cap for [[nearDupClusters]]; with pointer jumping this
+    * bounds reachable component diameter at ~2^(MaxRounds-1).
+    */
+  val MaxRounds = 50
+
+  /** [[nearDupClusters]] plus the number of propagation rounds actually
+    * run — exposed so tests can pin the O(log diameter) convergence.
+    */
+  private[graft] def nearDupClustersWithRounds(
+      docs: DataFrame, idCol: String, pairs: DataFrame): (DataFrame, Int) = {
     val ids = docs.select(col(idCol).cast("long").as("id")).distinct()
     val edges = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
@@ -189,10 +225,16 @@ object Dedup {
     var labels = ids.select(col("id"), col("id").as("label")).localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < MaxRounds) {
       val viaNeighbors = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.union(viaNeighbors)
+      // Pointer jumping: u's label p contributes p's own label — labels
+      // always point to a smaller id in the same component, so this is
+      // sound, and it is what makes convergence logarithmic.
+      val viaParent = labels.as("x")
+        .join(labels.as("y"), col("x.label") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.label").as("label"))
+      val next = labels.union(viaNeighbors).union(viaParent)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
       changed = next.as("n").join(labels.as("p"), Seq("id"))
@@ -201,7 +243,11 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $MaxRounds rounds " +
+          s"($changed labels still changing) — refusing to return wrong cluster ids")
+    (labels.select(col("id").as(idCol), col("label").as("cluster_id")), rounds)
   }
 
   /** The dedup ACTION on top of [[nearDupClusters]]: one kept document

@@ -142,6 +142,37 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(full(3L) == 3L && full(4L) == 4L)
   }
 
+  test("pair producers leave only the returned frame cached (scoped caches, ADVICE r3)") {
+    import org.apache.spark.storage.StorageLevel
+    // Set-difference, not absolute counts: earlier tests' localCheckpoint
+    // blocks linger in getPersistentRDDs until the ContextCleaner GCs them.
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Dedup.minhashPairs(fixture, "doc_id", "text", minJaccard = 0.4)
+    assert(pairs.storageLevel != StorageLevel.NONE, "result frame should come back cached")
+    val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(fresh.size == 1,
+      s"intermediate LSH caches (signatures, band keys) must be released on return; found $fresh")
+    pairs.unpersist(blocking = true)
+    val left = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(left.isEmpty, s"unpersisting the returned handle must leave nothing cached: $left")
+  }
+
+  test("clusters converge logarithmically on a 300-node chain (ADVICE r3)") {
+    // A path graph is the worst case for plain min-label propagation
+    // (O(diameter) rounds — the old 50-round cap would silently return
+    // wrong labels for this 299-hop chain). Pointer jumping must resolve
+    // it in ~log2(300)+1 rounds, and every node must reach label 0.
+    val n = 300L
+    val docs = (0L until n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (out, rounds) = Dedup.nearDupClustersWithRounds(docs, "doc_id", pairs)
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 300 && labels.values.forall(_ == 0L),
+      s"chain must collapse to cluster 0; distinct labels: ${labels.values.toSet.size}")
+    assert(rounds <= 13, s"expected O(log diameter) convergence, took $rounds rounds")
+  }
+
   test("keepBest emits one decision row per cluster with member counts") {
     val pairs = Seq((0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
     val out = Dedup.keepBest(fixture, "doc_id", "text", pairs)
