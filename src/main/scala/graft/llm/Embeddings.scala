@@ -149,9 +149,10 @@ object Embeddings {
     *     O(buckets × maxBucketSize²) instead of O(bucket²) on the hot
     *     orthant. The DuckDB oracle applies the identical HAVING guard.
     *
-    * The bucketed frame is persisted (feeds the census + both join
-    * sides); callers composing many pipelines should clear the session
-    * cache afterwards — same caching contract as [[graft.llm.Dedup]].
+    * The bucketed frame is persisted only within this call (feeds the
+    * census + both join sides); the materialized result is the one cached
+    * handle returned — same scoped caching contract as
+    * [[graft.llm.Dedup]]: `unpersist()` the returned frame when done.
     */
   def lshCosinePairs(
       emb: DataFrame, idCol: String, vecCol: String,
@@ -165,10 +166,12 @@ object Embeddings {
       .filter(col("__n") <= maxBucketSize)
       .select(col("bucket"))
     val b = b0.join(keep, Seq("bucket"), "left_semi")
-    b.as("a")
-      .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("sim"))
-      .filter(col("sim") >= lit(minCosine))
+    graft.llm.Dedup.scoped(
+      b.as("a")
+        .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          cosine(col("a.v"), col("b.v")).as("sim"))
+        .filter(col("sim") >= lit(minCosine)),
+      b0)
   }
 }
