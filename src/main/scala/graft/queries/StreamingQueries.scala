@@ -37,6 +37,70 @@ object StreamingQueries {
     dst
   }
 
+  /** Stage the events table as an EVENT-TIME-ORDERED sequence of parquet
+    * files: `chunks` contiguous time-range slices (approxQuantile bounds
+    * on ts), each written `copies` times as adjacent files, with strictly
+    * increasing modification times so the file source (which orders by
+    * modtime) replays them in event-time order. With
+    * `maxFilesPerTrigger=1` every file is its own micro-batch — the
+    * multi-batch harness that makes cross-batch watermark eviction and
+    * cross-batch join/dedup state REAL in the gate, where the single
+    * -batch twins pin only intra-batch semantics.
+    *
+    * Correctness contract for consumers: a stateful op is exact over this
+    * source iff its watermark delay covers one chunk's event-time span
+    * (span/chunks; 30-day events table, 6 chunks -> 5 days, gates use
+    * 7 days): rows of batch n+1 are then never below the watermark set by
+    * batch n, and a duplicate/join partner one batch behind still finds
+    * its state — while chunks further back DO age out, which is the
+    * eviction path being exercised.
+    */
+  private[graft] def stageOrderedSource(
+      s: SparkSession, sfDir: String, name: String,
+      copies: Int, chunks: Int = 6): String = synchronized {
+    val sf = Paths.get(sfDir).getFileName.toString
+    val dst = s"/root/repo/target/stream_src/$sf-$name-ordered"
+    val marker = s"$dst/_STAGED_${copies}x$chunks"
+    if (!new java.io.File(marker).exists()) {
+      val dstDir = new java.io.File(dst)
+      if (dstDir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(dstDir)
+      }
+      Files.createDirectories(Paths.get(dst))
+      val ev = QueryDef.table(s, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val qs = (1 until chunks).map(_.toDouble / chunks).toArray
+      val bounds = ev.select(col("ts").cast("double").as("t"))
+        .stat.approxQuantile("t", qs, 0.001)
+      val lo = Double.NegativeInfinity +: bounds
+      val hi = bounds :+ Double.PositiveInfinity
+      val base = System.currentTimeMillis() - chunks * copies * 2000L
+      var idx = 0
+      for (i <- 0 until chunks; c <- 0 until copies) {
+        val tmp = s"$dst/__tmp"
+        ev.filter(col("ts").cast("double") >= lo(i) &&
+            col("ts").cast("double") < hi(i))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val tgt = new java.io.File(dst, f"chunk$i%02d-copy$c.parquet")
+        Files.move(part.toPath, tgt.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        tgt.setLastModified(base + idx * 2000L)
+        idx += 1
+        val t = new java.io.File(tmp)
+        t.listFiles().foreach(_.delete()); t.delete()
+      }
+      Files.createFile(Paths.get(marker))
+    }
+    dst
+  }
+
   /** Run a bounded streaming query to a memory sink and return its final
     * table. Trigger.AvailableNow processes every pending file in
     * micro-batches and stops — the batch-bounded execution of the same
@@ -143,12 +207,12 @@ object StreamingQueries {
     // plain distinct count of the original table.
     //
     // maxFilesPerTrigger = MaxValue pins BOTH copies into ONE micro-batch:
-    // dropDuplicatesWithinWatermark evicts state once the 1-day watermark
-    // passes an event, and files don't arrive in event-time order, so a
+    // this twin asserts INTRA-batch dedup semantics over an arbitrarily
+    // ordered source (files don't arrive in event-time order, so a
     // duplicate split into a later micro-batch could be re-emitted after
-    // its twin's state was evicted. Exactness over an unbounded multi-batch
-    // stream would instead need a watermark covering the table's full time
-    // span (unbounded state) — the gate run asserts the single-batch form.
+    // its twin's state was evicted). Cross-batch exactness + watermark
+    // eviction are asserted by stream_dedup_mb below, whose source is
+    // staged in event-time order.
     QueryDef("stream_dedup",
       (s, dir) => {
         val src = stageSource(s, dir, "dedup", copies = 2)
@@ -162,6 +226,55 @@ object StreamingQueries {
       },
       Some("""SELECT event_type, count(*) AS n_unique,
              | round(sum(value), 2) AS value_sum
-             |FROM events GROUP BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // MULTI-BATCH streaming dedup (ADVICE r3): 6 event-time-ordered
+    // chunks, each file pair holding the same rows, one FILE per
+    // micro-batch (maxFilesPerTrigger=1) — so every duplicate crosses a
+    // batch boundary and must be caught from the state store, and the
+    // 7-day watermark (> the 5-day chunk span) advances batch over batch,
+    // evicting chunks >2 behind: cross-batch exactness AND eviction are
+    // both exercised, not just the single-batch form.
+    QueryDef("stream_dedup_mb",
+      (s, dir) => {
+        val src = stageOrderedSource(s, dir, "dedupmb", copies = 2)
+        val res = runBounded(s,
+          EventsStream.dedup(
+            EventsStream.readEvents(s, src, maxFilesPerTrigger = Some(1)),
+            delay = "7 days"),
+          "graft_stream_dedup_mb", OutputMode.Append())
+        res.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_unique"),
+            round(sum(col("value")), 2).as("value_sum"))
+      },
+      Some("""SELECT event_type, count(*) AS n_unique,
+             | round(sum(value), 2) AS value_sum
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // MULTI-BATCH stream-stream interval join: one time-ordered file per
+    // micro-batch; a click near a chunk boundary must survive in join
+    // state until its error arrives in the NEXT batch, and old click
+    // state is watermark-evicted as batches advance. Same oracle as the
+    // single-batch twin — cross-batch state must not lose (or double)
+    // a single match.
+    QueryDef("stream_interval_join_mb",
+      (s, dir) => {
+        val src = stageOrderedSource(s, dir, "ssjoinmb", copies = 1)
+        val all = EventsStream.readEvents(s, src, maxFilesPerTrigger = Some(1))
+        val res = runBounded(s,
+          EventsStream.intervalJoin(
+            all.filter(col("event_type") === "error"),
+            all.filter(col("event_type") === "click"),
+            delay = "7 days"),
+          "graft_stream_ssjoin_mb", OutputMode.Append())
+        res.select(col("event_id"), col("user_id"), col("click_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |   FROM events WHERE event_type = 'error'),
+             | c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |   FROM events WHERE event_type = 'click')
+             |SELECT e.event_id, e.user_id, c.click_id
+             |FROM e JOIN c ON e.user_id = c.user_id
+             | AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts < e.ts""".stripMargin))
   )
 }

@@ -57,10 +57,14 @@ object EventsStream {
 
   /** Streaming exact dedup on event_id within the watermark horizon —
     * the streaming twin of llm_dedup_exact (state: one key per id seen,
-    * dropped once the watermark passes).
+    * dropped once the watermark passes). `delay` is the dedup horizon:
+    * a duplicate arriving within `delay` of its twin's event time is
+    * always caught; size it to the source's worst-case arrival skew
+    * (for a file source replaying in event-time order, the per-file
+    * event-time span).
     */
-  def dedup(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark("event_id")
+  def dedup(events: DataFrame, delay: String = "1 day"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
   /** Session windows, streamed: same 30-minute-gap sessionization as the
     * batch q24, as an incremental stateful aggregation — session state
@@ -86,12 +90,13 @@ object EventsStream {
     * arrived (no finalization wait). The streaming twin of the q23
     * batch range join.
     */
-  def intervalJoin(errors: DataFrame, clicks: DataFrame): DataFrame = {
-    val e = errors.withWatermark("ts", "1 day")
+  def intervalJoin(errors: DataFrame, clicks: DataFrame,
+      delay: String = "1 day"): DataFrame = {
+    val e = errors.withWatermark("ts", delay)
     val c = clicks
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
-      .withWatermark("c_ts", "1 day")
+      .withWatermark("c_ts", delay)
     e.join(c,
       col("user_id") === col("c_user") &&
         col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&

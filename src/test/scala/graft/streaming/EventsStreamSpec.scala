@@ -107,6 +107,35 @@ class EventsStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("multi-batch ordered replay: cross-batch dedup exact, watermark advances, state evicted") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sfDir = "/root/testdata/sf0.001"
+    val src = graft.queries.StreamingQueries.stageOrderedSource(
+      spark, sfDir, "specmb", copies = 2)
+    val chk = java.nio.file.Files.createTempDirectory("graft_mb_chk").toString
+    val q = dedup(readEvents(spark, src, maxFilesPerTrigger = Some(1)), delay = "7 days")
+      .writeStream.format("memory").queryName("mb_dedup")
+      .option("checkpointLocation", chk)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val distinctIds = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id").distinct().count()
+    assert(spark.table("mb_dedup").count() == distinctIds,
+      "every duplicate (always split across adjacent micro-batches) must be dropped, nothing else")
+
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.length >= 8,
+      s"expected ~12 single-file micro-batches, saw ${progress.length} with data")
+    val lastState = progress.last.stateOperators.head
+    assert(lastState.numRowsTotal < distinctIds,
+      s"watermark must have evicted old chunks' state; still holding ${lastState.numRowsTotal}")
+    val wm = progress.last.eventTime.get("watermark")
+    assert(wm != null && wm > "2024-01-15",
+      s"watermark should have advanced well into the 30-day span, got $wm")
+  }
+
   test("flatMapGroupsWithState keeps running per-user feature state") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
