@@ -136,6 +136,44 @@ class EventsStreamSpec extends AnyFunSuite with SparkSpec {
       s"watermark should have advanced well into the 30-day span, got $wm")
   }
 
+  test("checkpoint recovery: a restarted query resumes exactly-once from the same checkpoint") {
+    // Stop-and-restart against one checkpoint + file sink: the restarted
+    // query must (a) not reprocess files already committed (no
+    // re-emission of ids 1/2), and (b) restore dedup state, so a
+    // duplicate of a FIRST-run event arriving after the restart is still
+    // dropped. This is the operational contract a production pipeline
+    // restarts rely on; the sink's _spark_metadata log is what makes the
+    // output exactly-once.
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("graft_rec_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_rec_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_rec_chk").toString
+    def run(): Unit = {
+      val q = dedup(readEvents(spark, src, maxFilesPerTrigger = Some(1)))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Seq(
+      Event(1, 10, "click", 1.0, ts(1, 5)),
+      Event(2, 11, "view", 2.0, ts(1, 6))
+    ).toDS().write.mode("append").parquet(src)
+    run()
+    Seq(
+      Event(1, 10, "click", 1.0, ts(1, 5)), // dup of a pre-restart event
+      Event(3, 12, "click", 3.0, ts(1, 7))
+    ).toDS().write.mode("append").parquet(src)
+    run()
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L),
+      s"restart must neither re-emit committed events nor lose state: got $ids")
+    run() // third start with nothing new: must be a no-op
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("flatMapGroupsWithState keeps running per-user feature state") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
