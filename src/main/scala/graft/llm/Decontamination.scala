@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/eval overlap detection ("decontamination"). The simple forms
+  * live as queries — exact content-hash semi-join (`llm_decontaminate`)
+  * and 8-gram semi-join (`llm_decontaminate_ngram`); this object holds
+  * the SCALE form: a broadcast Bloom prefilter in front of the exact
+  * confirm join.
+  */
+object Decontamination {
+
+  /** Corpus documents sharing any word `n`-gram with `evalDocs` —
+    * EXACTLY equal to the plain explode → semi-join form, computed with
+    * a Bloom prefilter:
+    *
+    *  1. the eval side's distinct n-grams build a Bloom filter (`fpp`
+    *     false-positive rate; ~10 bits per element at 1%), broadcast as
+    *     a compact sketch even when the exact gram SET would be too big
+    *     to broadcast;
+    *  2. corpus grams stream through `mightContain` right after the
+    *     scan — a per-row bit probe, no join, no shuffle — dropping
+    *     ~(1-fpp) of non-overlapping grams;
+    *  3. survivors (true overlaps plus fpp false positives) are
+    *     CONFIRMED by the exact semi-join, so the result is identical
+    *     to the unfiltered form; only ~(overlap + fpp·grams) rows ever
+    *     reach the join.
+    *
+    * At 100 TB the prefilter is the difference between shuffling every
+    * corpus gram and shuffling a sliver. The probe is a Scala UDF by
+    * necessity, documented: Spark exposes no public codegen'd
+    * might-contain over a driver-built sketch (BloomFilterMightContain
+    * is internal to runtime join filtering), and the probe runs on
+    * already-pruned single-column rows.
+    */
+  def ngramOverlapBloom(
+      corpus: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String,
+      keepCols: Seq[String] = Nil,
+      n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(
+        TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), n)).as("g"))
+      .distinct()
+      .persist()
+    val bloom = evalGrams.stat.bloomFilter("g", math.max(evalGrams.count(), 1L), fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
+    Dedup.scoped(
+      corpus
+        .select((col(idCol) +: keepCols.map(col)) :+ explode(
+          TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), n)).as("g"): _*)
+        .filter(mightContain(col("g")))
+        .join(evalGrams, Seq("g"), "left_semi")
+        .select(col(idCol) +: keepCols.map(col): _*)
+        .distinct(),
+      evalGrams)
+  }
+}

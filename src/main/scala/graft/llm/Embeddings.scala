@@ -132,6 +132,41 @@ object Embeddings {
       .filter(col("rnk") <= k)
   }
 
+  /** Multi-TABLE variant of [[lshTopK]]: `tables` independent hash
+    * tables, table t keyed on the sign pattern of dimension slice
+    * `[t*bits+1, (t+1)*bits]` (disjoint slices — deterministic and
+    * oracle-reproducible; production would use random rotations).
+    * Candidates are the DEDUPED union of every table's bucket matches,
+    * so a (query, neighbor) pair colliding in several tables is scored
+    * once. Recall compounds as 1-(1-p)^T while index size and candidate
+    * cost grow ~T× — the standard multi-table LSH trade, and the scale
+    * lever when one table's recall isn't enough: the corpus side stays
+    * shuffle-free (exploded into T inverted lists, joined against the
+    * broadcast exploded query set). Requires `tables*bits <=` dim.
+    */
+  def lshTopKMultiTable(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, bits: Int, tables: Int, k: Int): DataFrame = {
+    def bucketT(vec: Column, t: Int): Column =
+      concat(lit(s"$t:") +: (t * bits + 1 to (t + 1) * bits).map { i =>
+        when(element_at(vec, i) >= 0, lit("1")).otherwise(lit("0"))
+      }: _*)
+    def withBuckets(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        explode(array((0 until tables).map(t => bucketT(col(vecCol), t)): _*)).as("bucket"))
+    val q = withBuckets(queries, "query_id", "__qv")
+    val c = withBuckets(corpus, "neighbor_id", "__cv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** LSH-bucketed cosine near-duplicate pairs: candidates share a sign
     * bucket (equi-join on the bucket key — never all-pairs), then exact
     * cosine rescoring on candidates only.

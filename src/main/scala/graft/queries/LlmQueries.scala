@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Dedup, Embeddings, Sampling, TextFunctions => TF}
+import graft.llm.{Decontamination, Dedup, Embeddings, Sampling, TextFunctions => TF}
 import org.apache.spark.sql.functions._
 
 /** LLM training-data pipeline queries over the driver's `documents` and
@@ -208,6 +208,28 @@ object LlmQueries {
           .join(broadcast(evalGrams), Seq("g"), "left_semi")
           .select(col("doc_id"), col("lang"))
           .distinct()
+      },
+      Some {
+        val sh8 = "list_transform(range(1, greatest(len(w)-7, 1)+1), " +
+          "i -> array_to_string(w[i:i+7], ' '))"
+        s"""WITH t2 AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+           |s AS (SELECT doc_id, lang, unnest($sh8) AS g FROM t2),
+           |ev AS (SELECT DISTINCT g FROM s WHERE doc_id % 50 = 0)
+           |SELECT DISTINCT doc_id, lang FROM s WHERE g IN (SELECT g FROM ev)""".stripMargin
+      }),
+
+    // The SCALE form of n-gram decontamination: broadcast Bloom
+    // prefilter (fpp 1%) in front of the exact confirm semi-join —
+    // IDENTICAL results to llm_decontaminate_ngram (false positives are
+    // confirmed away), which is why both share one oracle; what changes
+    // is the shuffle volume at 100 TB (only ~overlap + fpp·grams rows
+    // reach the join instead of every corpus gram).
+    QueryDef("llm_decontaminate_bloom",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        Decontamination.ngramOverlapBloom(
+          docs, docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", keepCols = Seq("lang"))
       },
       Some {
         val sh8 = "list_transform(range(1, greatest(len(w)-7, 1)+1), " +
@@ -570,6 +592,61 @@ object LlmQueries {
            |j AS (SELECT qp.vec_id AS query_id, c.vec_id AS neighbor_id,
            |   ${cosSql("qp.embedding", "c.embedding")} AS sim
            |  FROM qp JOIN b c ON qp.bucket = c.bucket AND c.vec_id != qp.vec_id),
+           |ls AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |  FROM j) WHERE rnk <= 3),
+           |h AS (SELECT ls.query_id, count(*) AS n FROM ls
+           |  JOIN bf ON ls.query_id = bf.query_id AND ls.neighbor_id = bf.neighbor_id
+           |  GROUP BY 1)
+           |SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           | round(coalesce(h.n, 0) / 3.0 + 0.000001, 4) AS recall
+           |FROM q LEFT JOIN h ON q.query_id = h.query_id""".stripMargin
+      }),
+
+    // Recall gate for the MULTI-TABLE LSH variant (3 tables keyed on
+    // disjoint 4-bit sign slices, candidates deduped across tables):
+    // the other standard recall lever — 1-(1-p)^T compounding vs
+    // multi-probe's neighboring-bucket expansion — measured, not argued.
+    QueryDef("llm_emb_recall_mt",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 50)
+        val k = 3
+        val bf = Embeddings.bruteForceTopK(emb, q, "vec_id", "embedding", k)
+          .select(col("query_id"), col("neighbor_id"))
+        val ls = Embeddings.lshTopKMultiTable(
+            emb, q, "vec_id", "embedding", bits = 4, tables = 3, k = k)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = ls.join(bf, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
+        q.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("__h"), lit(0L)).as("n_hits"),
+            round(coalesce(col("__h"), lit(0L)) / lit(k.toDouble) + lit(1e-6), 4).as("recall"))
+      },
+      Some {
+        val tableBuckets = (0 until 3).map { t =>
+          s"'$t:' || array_to_string(list_transform(range(${t * 4 + 1}, ${t * 4 + 5}), " +
+            "i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '')"
+        }.mkString("[", ", ", "]")
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           |  FROM embeddings WHERE vec_id < 50),
+           |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+           |   ${cosSql("q.qe", "e.embedding")} AS sim
+           |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+           |bf AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |  FROM s) WHERE rnk <= 3),
+           |cb AS (SELECT vec_id, embedding, unnest($tableBuckets) AS bucket
+           |  FROM embeddings),
+           |cand AS (SELECT DISTINCT qp.vec_id AS query_id, c.vec_id AS neighbor_id
+           |  FROM cb qp JOIN cb c ON qp.bucket = c.bucket AND c.vec_id != qp.vec_id
+           |  WHERE qp.vec_id < 50),
+           |j AS (SELECT cand.query_id, cand.neighbor_id,
+           |   ${cosSql("qe.embedding", "ce.embedding")} AS sim
+           |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+           |   JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
            |ls AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
            |  FROM j) WHERE rnk <= 3),

@@ -224,6 +224,57 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc matched")
   }
 
+  test("bloom-prefiltered decontamination equals the exact semi-join even at high fpp") {
+    // fpp=0.5 floods the prefilter with false positives; the exact
+    // confirm join must scrub every one, leaving results identical to
+    // the unfiltered form.
+    val docs = ((0L until 40L).map(i =>
+      (i, s"unique document number $i talking about topic ${i % 7} in many distinct words ${i * 31}")) ++
+      Seq((100L, "the exact overlapping benchmark sentence appears in train and eval sets verbatim here")))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (0L, "the exact overlapping benchmark sentence appears in train and eval sets verbatim here"),
+      (1L, "a completely different eval prompt that shares no eight gram with any training document"))
+      .toDF("doc_id", "text")
+    def plain(n: Int) = {
+      import org.apache.spark.sql.functions.{col, explode}
+      docs.select(col("doc_id"),
+          explode(TextFunctions.wordShingles(TextFunctions.tokens(col("text")), n)).as("g"))
+        .join(eval_.select(explode(
+          TextFunctions.wordShingles(TextFunctions.tokens(col("text")), n)).as("g")).distinct(),
+          Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+    }
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = Decontamination.ngramOverlapBloom(docs, eval_, "doc_id", "text", fpp = fpp)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == plain(8), s"fpp=$fpp diverged from the exact form")
+      assert(got == Set(100L), "only the planted overlap should be flagged")
+    }
+  }
+
+  test("multi-table LSH finds neighbors that a single table's slice misses") {
+    // Query and neighbor disagree in sign on dim 1 (table 0's slice) but
+    // agree on dims 5-8 (table 1's slice): invisible to single-table
+    // bits=4, found with tables>=2; candidates dedupe across tables.
+    val emb = Seq(
+      (0L, Array(0.1f, 0.9f, 0.9f, 0.9f, 0.8f, 0.8f, 0.8f, 0.8f)),
+      (1L, Array(-0.1f, 0.9f, 0.9f, 0.9f, 0.8f, 0.8f, 0.8f, 0.8f)), // table-0 miss, table-1 hit
+      (2L, Array(0.9f, 0.8f, 0.7f, 0.9f, 0.8f, 0.8f, 0.8f, 0.8f))   // collides in BOTH tables
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0L)
+    val single = Embeddings.lshTopK(emb, q, "vec_id", "embedding", 4, 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(single == Set(2L), "table-0 alone must miss the dim-1 sign flip")
+    val multi = Embeddings.lshTopKMultiTable(emb, q, "vec_id", "embedding", bits = 4, tables = 2, k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(multi.map(_._1).toSet == Set(1L, 2L),
+      s"table 1 must recover the neighbor: $multi")
+    assert(multi.map(_._1).distinct.length == multi.length,
+      "a pair colliding in both tables must be scored once")
+  }
+
   test("multi-probe LSH recovers the neighbor one sign flip away") {
     val emb = Seq(
       (0L, Array(0.1f, 0.9f, 0.9f, 0.9f)),  // query: bucket 1111
