@@ -186,4 +186,22 @@ object TextFunctions {
     val stopRatio = langScore(toks, Stopwords).cast("double") / n
     lit(0.3) * lenScore + lit(0.4) * diversity + lit(0.3) * (lit(1.0) - stopRatio)
   }
+
+  /** Fraction of tokens taken by the single most frequent token — the
+    * Gopher-style repetition signal (boilerplate and spam concentrate
+    * mass on one token; prose doesn't). Pure per-row HOF arithmetic:
+    * O(distinct × tokens) per document, no shuffle, codegen-eligible.
+    */
+  def topTokenFraction(toks: Column): Column =
+    array_max(transform(array_distinct(toks),
+      x => size(filter(toks, y => y === x)))).cast("double") / size(toks)
+
+  /** Fraction of word bigrams that are repeats of an earlier bigram
+    * (`1 - distinct/total`) — the second Gopher-style repetition signal,
+    * catching looped phrases that single-token counts miss.
+    */
+  def dupBigramFraction(toks: Column): Column = {
+    val grams = wordShingles(toks, 2)
+    lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)
+  }
 }

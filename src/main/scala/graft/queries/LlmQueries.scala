@@ -429,6 +429,38 @@ object LlmQueries {
            | round(quality + 0.000001, 4) AS quality FROM q""".stripMargin
       }),
 
+    // Gopher-style repetition filters: fraction of tokens taken by the
+    // most frequent token + fraction of repeated word bigrams, with the
+    // keep decision (top <= 0.2 AND dup <= 0.3 — Gopher-inspired
+    // thresholds) computed on the RAW doubles; safe to threshold because
+    // both engines evaluate the identical IEEE expression. Pure per-row
+    // HOF arithmetic — no shuffle, the filter composes under any plan.
+    QueryDef("llm_quality_repetition",
+      (s, dir) => {
+        val toks = TF.tokens(col("text"))
+        QueryDef.table(s, dir, "documents")
+          .select(col("doc_id"),
+            round(TF.topTokenFraction(toks) + lit(1e-6), 4).as("top_frac"),
+            round(TF.dupBigramFraction(toks) + lit(1e-6), 4).as("dup_bigram_frac"),
+            (TF.topTokenFraction(toks) <= lit(0.2) &&
+              TF.dupBigramFraction(toks) <= lit(0.3)).cast("int").as("keep"))
+      },
+      Some {
+        val sh2 = "list_transform(range(1, greatest(len(w)-1, 1)+1), " +
+          "i -> array_to_string(w[i:i+1], ' '))"
+        s"""WITH t AS ($toksCte),
+           |m AS (SELECT doc_id,
+           |  list_max(list_transform(list_distinct(w),
+           |    x -> len(list_filter(w, y -> y = x))))::DOUBLE / len(w) AS top_frac,
+           |  1.0 - len(list_distinct($sh2))::DOUBLE / len($sh2) AS dup_frac
+           | FROM t)
+           |SELECT doc_id, round(top_frac + 0.000001, 4) AS top_frac,
+           | round(dup_frac + 0.000001, 4) AS dup_bigram_frac,
+           | CAST(CASE WHEN top_frac <= 0.2 AND dup_frac <= 0.3
+           |   THEN 1 ELSE 0 END AS INT) AS keep
+           |FROM m""".stripMargin
+      }),
+
     // Rolling-hash document fingerprint (1-function MinHash).
     QueryDef("llm_fingerprint",
       (s, dir) => QueryDef.table(s, dir, "documents")

@@ -69,6 +69,23 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("repetition metrics flag looped text and pass prose") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "spam spam spam spam spam spam spam spam spam spam"),        // one token dominates
+      (1L, "buy now buy now buy now buy now buy now buy now"),          // looped bigram
+      (2L, "each word here appears exactly once across the whole text")  // clean prose
+    ).toDF("doc_id", "text")
+    val toks = TextFunctions.tokens(col("text"))
+    val m = docs.select(col("doc_id"),
+        TextFunctions.topTokenFraction(toks).as("top"),
+        TextFunctions.dupBigramFraction(toks).as("dup"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m(0L)._1 == 1.0, "all-same-token doc must score top_frac 1")
+    assert(m(1L)._2 > 0.8, s"looped bigrams must score high dup fraction: ${m(1L)}")
+    assert(m(2L)._1 < 0.2 && m(2L)._2 == 0.0, s"clean prose must pass: ${m(2L)}")
+  }
+
   test("brute-force top-k ranks by cosine with deterministic ties") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),
