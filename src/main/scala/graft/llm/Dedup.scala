@@ -73,21 +73,36 @@ object Dedup {
       bands: Int = 6, rowsPerBand: Int = 2,
       minJaccard: Double = 0.5,
       maxBucketSize: Int = 64,
-      fastHash: Boolean = false): DataFrame =
+      fastHash: Boolean = false,
+      saltHotBuckets: Boolean = false): DataFrame =
     lshPairs(
       docs.select(col(idCol).as("id"),
         TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), 3).as("sh")),
-      bands, rowsPerBand, minJaccard, maxBucketSize, fastHash)
+      bands, rowsPerBand, minJaccard, maxBucketSize, fastHash, saltHotBuckets)
 
   /** Shared banded-LSH pipeline over a pre-shingled `(id, sh)` frame.
     * `fastHash` swaps the oracle-parity md5 base hash for xxhash64 —
     * the production setting when DuckDB comparability isn't needed
     * (TextFunctions.shingleHashesFast doc).
+    *
+    * `saltHotBuckets` picks the hot-bucket policy: false (default)
+    * DROPS band keys shared by more than `maxBucketSize` documents —
+    * they carry no near-dup signal on natural corpora; true instead
+    * SPLITS each hot bucket into ceil(n/maxBucketSize) deterministic
+    * salt groups (md5 fold of the doc id) and self-joins within
+    * (band, salt): per-bucket work falls from O(n²) to
+    * O(n × maxBucketSize) while a true near-dup pair inside the flood
+    * still survives with probability ~1/groups per band — and with b
+    * independent bands, usually through some other band. The salted
+    * mode is the adversarial-skew setting: a corpus engineered to
+    * flood one band key can never force quadratic work, yet signal is
+    * degraded rather than zeroed.
     */
   private def lshPairs(
       sh0: DataFrame, bands: Int, rowsPerBand: Int,
       minJaccard: Double, maxBucketSize: Int,
-      fastHash: Boolean = false): DataFrame = {
+      fastHash: Boolean = false,
+      saltHotBuckets: Boolean = false): DataFrame = {
     // Persist the shingle and band frames: each feeds 2-3 plan branches
     // (bucket census + both self-join sides / both rescoring joins), and
     // without a cache Spark re-computes the k x shingles MinHash tree per
@@ -112,11 +127,18 @@ object Dedup {
     val banded = sh.select(col("id"),
       explode(TextFunctions.lshBandKeysFromSig(col("__sig"), bands, rowsPerBand)).as("band"))
       .persist()
-    val keep = banded.groupBy(col("band"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucketSize)
-      .select(col("band"))
-    val discriminative = banded.join(keep, Seq("band"), "left_semi")
+    val census = banded.groupBy(col("band")).agg(count(lit(1)).as("__n"))
+    val discriminative =
+      if (!saltHotBuckets)
+        banded.join(census.filter(col("__n") <= maxBucketSize).select(col("band")),
+          Seq("band"), "left_semi")
+      else
+        banded.join(census, Seq("band"))
+          .select(col("id"),
+            concat(col("band"), lit("#"),
+              (conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10).cast("long")
+                % greatest(ceil(col("__n") / lit(maxBucketSize.toDouble)).cast("long"), lit(1L)))
+                .cast("string")).as("band"))
     val cands = discriminative.as("a")
       .join(discriminative.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))

@@ -67,21 +67,34 @@ object LlmQueries {
     * mega-bucket guard (HAVING <= 64). Shared by the pair oracles and
     * the cluster oracle.
     */
-  private def lshPairsCtes(shingleExpr: String): String =
+  private def lshPairsCtes(shingleExpr: String, salted: Boolean = false): String = {
+    // hot-bucket policy mirror of Dedup.lshPairs: drop (HAVING <= 64) or
+    // salt into ceil(n/64) md5-fold groups — see saltHotBuckets there.
+    val bCte =
+      if (!salted)
+        """b AS (SELECT * FROM b0 WHERE band IN
+          |  (SELECT band FROM b0 GROUP BY band HAVING count(*) <= 64))""".stripMargin
+      else
+        s"""b AS (SELECT b0.doc_id,
+           |   b0.band || '#' || CAST(${hashFoldSql("CAST(b0.doc_id AS VARCHAR)")}
+           |     % greatest(CAST(ceil(c.__n / 64.0) AS BIGINT), 1) AS VARCHAR) AS band
+           |  FROM b0 JOIN (SELECT band, count(*) AS __n FROM b0 GROUP BY band) c
+           |  ON b0.band = c.band)""".stripMargin
     s"""t AS ($toksCte),
        |s AS (SELECT doc_id, $shingleExpr AS sh FROM t),
        |hh AS (SELECT doc_id, list_transform(sh, x -> ${hashFoldSql("x")}) AS hs FROM s),
        |b0 AS (SELECT doc_id, unnest(${bandsSql("hs", 6, 2)}) AS band FROM hh),
-       |b AS (SELECT * FROM b0 WHERE band IN
-       |  (SELECT band FROM b0 GROUP BY band HAVING count(*) <= 64)),
+       |$bCte,
        |c AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b FROM b a
        |  JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id GROUP BY 1, 2),
        |j AS (SELECT id_a, id_b, ${jaccardSql("sa.sh", "sb.sh")} AS jac
        |  FROM c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b)""".stripMargin
+  }
 
   /** banded-LSH near-dup pair oracle (word or char shingles). */
-  private def lshPairsSql(shingleExpr: String, minJ: Double): String =
-    s"""WITH ${lshPairsCtes(shingleExpr)}
+  private def lshPairsSql(
+      shingleExpr: String, minJ: Double, salted: Boolean = false): String =
+    s"""WITH ${lshPairsCtes(shingleExpr, salted)}
        |SELECT id_a, id_b, round(jac + 0.000001, 4) AS jaccard
        |FROM j WHERE jac >= $minJ""".stripMargin
 
@@ -132,6 +145,19 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"),
           round(col("jaccard") + lit(1e-6), 4).as("jaccard")),
       Some(lshPairsSql(shingles3, 0.5))),
+
+    // The SALTED hot-bucket policy of the same pipeline: mega buckets
+    // are split into ceil(n/64) md5-fold salt groups instead of
+    // dropped — bounded work under adversarial skew, degraded rather
+    // than zeroed signal (Dedup.lshPairs doc). On this natural corpus
+    // the result happens to match the drop policy where no bucket is
+    // hot; the oracle replays the salt arithmetic exactly.
+    QueryDef("llm_dedup_minhash_salted",
+      (s, dir) => Dedup.minhashPairs(QueryDef.table(s, dir, "documents"),
+          "doc_id", "text", saltHotBuckets = true)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") + lit(1e-6), 4).as("jaccard")),
+      Some(lshPairsSql(shingles3, 0.5, salted = true))),
 
     // Character-4-gram variant of the same LSH pipeline.
     QueryDef("llm_dedup_ngram",

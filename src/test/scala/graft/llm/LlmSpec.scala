@@ -120,6 +120,37 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((900L, 901L)), s"planted near-dup lost: $pairs")
   }
 
+  test("salted hot buckets bound adversarial floods while keeping partial signal") {
+    // 200 identical docs = one flood bucket per band (every pair IS a
+    // true dup). Drop policy finds none of them; salt policy must find
+    // SOME (same-salt-group pairs) but far fewer than the quadratic
+    // 19,900, and the unique planted pair survives under both policies.
+    val flood = (0L until 200L).map(i =>
+      (i, "common boilerplate text repeated across the whole corpus body"))
+    val planted = Seq(
+      (900L, "a genuinely unique sentence about glaciers calving into arctic fjords"),
+      (901L, "a genuinely unique sentence about glaciers calving into arctic fjords"))
+    val docs = (flood ++ planted).toDF("doc_id", "text")
+    val dropped = Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dropped == Set((900L, 901L)), "drop policy zeroes the flood")
+    val salted = Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.9,
+        saltHotBuckets = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted.contains((900L, 901L)), "planted pair must survive salting")
+    val floodPairs = salted.count(p => p._1 < 200L && p._2 < 200L)
+    assert(floodPairs > 0, "salting must retain some same-group flood pairs")
+    assert(floodPairs < 8000,
+      s"per-bucket work must stay ~n*maxBucketSize, got $floodPairs pairs")
+    // benign corpus: no hot buckets -> the two policies are identical
+    val a = Dedup.minhashPairs(fixture, "doc_id", "text", minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.minhashPairs(fixture, "doc_id", "text", minJaccard = 0.4,
+        saltHotBuckets = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, "policies must agree when no bucket is hot")
+  }
+
   test("embedding mega-bucket guard: one hot orthant produces no pair explosion") {
     // 200 distinct vectors share the all-positive sign pattern (one
     // bucket of 200 > 64 — the realistic normalized-embedding skew);
