@@ -1,8 +1,12 @@
 package graft
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
 /** Regenerates docs/plans/<name>.txt — formatted physical plans of the four
-  * feature strategies over reference-shaped data (committed as reviewable
-  * evidence of the plan shapes PlanShapeSpec pins).
+  * feature strategies over reference-shaped data plus the headline LLM
+  * operators over the sf0.001 tables (committed as reviewable evidence of
+  * the plan shapes PlanShapeSpec / LlmPlanSpec pin).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -12,13 +16,8 @@ object PlanDump {
       queries.RefWorkload.slicePath)
     Files.createDirectories(Paths.get("/root/repo/docs/plans"))
     spark.conf.set("spark.sql.maxMetadataStringLength", "200")
-    for ((name, strat) <- Seq(
-        "aggregator" -> features.AggregatorStrategy,
-        "pivot_rollup" -> features.PivotRollupStrategy,
-        "case_when" -> features.CaseWhenStrategy,
-        "map_groups" -> features.MapGroupsStrategy,
-        "auto" -> features.AutoStrategy)) {
-      val df = strat(spark.read.parquet(path), features.FeatureSpec.reference)
+
+    def dump(name: String, df: DataFrame): Unit = {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       // the 2,080-column lists don't aid review — keep the operator tree
@@ -27,6 +26,24 @@ object PlanDump {
       Files.writeString(Paths.get(s"/root/repo/docs/plans/$name.txt"), trimmed)
       println(s"wrote $name")
     }
+
+    for ((name, strat) <- Seq(
+        "aggregator" -> features.AggregatorStrategy,
+        "pivot_rollup" -> features.PivotRollupStrategy,
+        "case_when" -> features.CaseWhenStrategy,
+        "map_groups" -> features.MapGroupsStrategy,
+        "auto" -> features.AutoStrategy))
+      dump(name, strat(spark.read.parquet(path), features.FeatureSpec.reference))
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dump("llm_bloom_decontaminate", llm.Decontamination.ngramOverlapBloom(
+      docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", Seq("lang")))
+    dump("llm_multitable_ann", llm.Embeddings.lshTopKMultiTable(
+      emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      bits = 4, tables = 3, k = 3))
+    dump("llm_minhash_salted", llm.Dedup.minhashPairs(
+      docs, "doc_id", "text", saltHotBuckets = true))
     spark.stop()
   }
 }
