@@ -79,7 +79,7 @@ object Bench {
       val rs = scala.collection.mutable.LinkedHashMap[String, Double]()
       rs("warmup") = timed(spark.range(0, 1000000).toDF("n"))
       rs("datagen") = {
-        deleteRecursively(new java.io.File(path))
+        Fs.deleteRecursively(new java.io.File(path))
         timed2(RefWorkload.ensure(spark, cfg, path))
       }
       // Untimed full-decode pass (noop sink): without it the FIRST
@@ -117,7 +117,7 @@ object Bench {
     // round.
     results("ref_tiny_datagen") =
       try {
-        deleteRecursively(new java.io.File(RefWorkload.tinyPath))
+        Fs.deleteRecursively(new java.io.File(RefWorkload.tinyPath))
         timed2(RefWorkload.ensure(spark, DataGen.Tiny, RefWorkload.tinyPath))
       } catch { case _: Throwable => -1.0 }
     val tiny = RefWorkload.tinyPath
@@ -156,11 +156,5 @@ object Bench {
     val t0 = System.nanoTime()
     action
     (System.nanoTime() - t0) / 1e9
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
-    ()
   }
 }

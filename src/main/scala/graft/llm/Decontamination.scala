@@ -47,7 +47,7 @@ object Decontamination {
     val bloom = evalGrams.stat.bloomFilter("g", math.max(evalGrams.count(), 1L), fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
-    Dedup.scoped(
+    val out = Dedup.scoped(
       corpus
         .select((col(idCol) +: keepCols.map(col)) :+ explode(
           TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), n)).as("g"): _*)
@@ -56,5 +56,10 @@ object Decontamination {
         .select(col(idCol) +: keepCols.map(col): _*)
         .distinct(),
       evalGrams)
+    // the result is materialized by scoped(), so the (potentially large)
+    // sketch's executor copies can go; unpersist — not destroy — keeps it
+    // refetchable from the driver should the cached result be recomputed
+    bc.unpersist(blocking = false)
+    out
   }
 }

@@ -147,6 +147,12 @@ object Embeddings {
   def lshTopKMultiTable(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, bits: Int, tables: Int, k: Int): DataFrame = {
+    // fail fast instead of silently degenerating: out-of-range element_at
+    // returns NULL, which would collapse an over-wide table's slice into
+    // one constant mega-bucket (quadratic candidates, zero recall gain)
+    val dim = queries.select(size(col(vecCol))).head().getInt(0)
+    require(tables * bits <= dim,
+      s"tables*bits = ${tables * bits} exceeds embedding dim $dim")
     def bucketT(vec: Column, t: Int): Column =
       concat(lit(s"$t:") +: (t * bits + 1 to (t + 1) * bits).map { i =>
         when(element_at(vec, i) >= 0, lit("1")).otherwise(lit("0"))

@@ -249,7 +249,10 @@ object LlmQueries {
     // IDENTICAL results to llm_decontaminate_ngram (false positives are
     // confirmed away), which is why both share one oracle; what changes
     // is the shuffle volume at 100 TB (only ~overlap + fpp·grams rows
-    // reach the join instead of every corpus gram).
+    // reach the join instead of every corpus gram). At gate scale the
+    // filter BUILD dominates and this is measurably slower than the
+    // plain form — the crossover is where the eval gram set stops
+    // broadcasting / the corpus gram shuffle stops fitting.
     QueryDef("llm_decontaminate_bloom",
       (s, dir) => {
         val docs = QueryDef.table(s, dir, "documents")
@@ -463,13 +466,19 @@ object LlmQueries {
     // HOF arithmetic — no shuffle, the filter composes under any plan.
     QueryDef("llm_quality_repetition",
       (s, dir) => {
+        // compute each O(distinct×tokens) HOF fraction ONCE in an inner
+        // projection (codegen does not CSE higher-order functions), then
+        // derive rounding and the keep flag from the raw columns
         val toks = TF.tokens(col("text"))
         QueryDef.table(s, dir, "documents")
           .select(col("doc_id"),
-            round(TF.topTokenFraction(toks) + lit(1e-6), 4).as("top_frac"),
-            round(TF.dupBigramFraction(toks) + lit(1e-6), 4).as("dup_bigram_frac"),
-            (TF.topTokenFraction(toks) <= lit(0.2) &&
-              TF.dupBigramFraction(toks) <= lit(0.3)).cast("int").as("keep"))
+            TF.topTokenFraction(toks).as("__top"),
+            TF.dupBigramFraction(toks).as("__dup"))
+          .select(col("doc_id"),
+            round(col("__top") + lit(1e-6), 4).as("top_frac"),
+            round(col("__dup") + lit(1e-6), 4).as("dup_bigram_frac"),
+            (col("__top") <= lit(0.2) && col("__dup") <= lit(0.3))
+              .cast("int").as("keep"))
       },
       Some {
         val sh2 = "list_transform(range(1, greatest(len(w)-1, 1)+1), " +

@@ -63,13 +63,7 @@ object StreamingQueries {
     val marker = s"$dst/_STAGED_${copies}x$chunks"
     if (!new java.io.File(marker).exists()) {
       val dstDir = new java.io.File(dst)
-      if (dstDir.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(dstDir)
-      }
+      if (dstDir.exists()) graft.Fs.deleteRecursively(dstDir)
       Files.createDirectories(Paths.get(dst))
       val ev = QueryDef.table(s, sfDir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -80,21 +74,32 @@ object StreamingQueries {
       val lo = Double.NegativeInfinity +: bounds
       val hi = bounds :+ Double.PositiveInfinity
       val base = System.currentTimeMillis() - chunks * copies * 2000L
+      // a silently-failed mtime write would scramble the replay order and
+      // surface as a baffling late-data gate mismatch — fail HERE instead
+      def stamp(f: java.io.File, idx: Int): Unit =
+        require(f.setLastModified(base + idx * 2000L),
+          s"setLastModified failed for $f — ordered replay needs controlled mtimes")
       var idx = 0
-      for (i <- 0 until chunks; c <- 0 until copies) {
+      for (i <- 0 until chunks) {
         val tmp = s"$dst/__tmp"
         ev.filter(col("ts").cast("double") >= lo(i) &&
             col("ts").cast("double") < hi(i))
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .filter(_.getName.endsWith(".parquet")).head
-        val tgt = new java.io.File(dst, f"chunk$i%02d-copy$c.parquet")
-        Files.move(part.toPath, tgt.toPath,
+        val first = new java.io.File(dst, f"chunk$i%02d-copy0.parquet")
+        Files.move(part.toPath, first.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        tgt.setLastModified(base + idx * 2000L)
-        idx += 1
-        val t = new java.io.File(tmp)
-        t.listFiles().foreach(_.delete()); t.delete()
+        stamp(first, idx); idx += 1
+        // further copies are byte-identical: plain file copies, not
+        // another scan+write Spark job per copy
+        for (c <- 1 until copies) {
+          val tgt = new java.io.File(dst, f"chunk$i%02d-copy$c.parquet")
+          Files.copy(first.toPath, tgt.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          stamp(tgt, idx); idx += 1
+        }
+        graft.Fs.deleteRecursively(new java.io.File(tmp))
       }
       Files.createFile(Paths.get(marker))
     }
