@@ -44,6 +44,8 @@ object PlanDump {
       bits = 4, tables = 3, k = 3))
     dump("llm_minhash_salted", llm.Dedup.minhashPairs(
       docs, "doc_id", "text", saltHotBuckets = true))
+    dump("llm_tfidf_topk", llm.Corpus.tfidfTopK(docs, "doc_id", "text", 3))
+    dump("llm_dup_spans", llm.Corpus.dupSpanStats(docs, "doc_id", "text"))
     spark.stop()
   }
 }

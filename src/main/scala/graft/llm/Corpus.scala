@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level term statistics for LLM training-data pipelines: TF-IDF
+  * keyword extraction and cross-document duplicated-span profiling.
+  *
+  * Scale contract shared by both operators: the only things that ever
+  * shuffle are (doc id, token) / (doc id, span-hash) pairs and small
+  * per-term aggregates — never document bytes — so shuffle volume grows
+  * with token count, not corpus byte size, and the per-term side scales
+  * with the number of DISTINCT terms (vocabulary / distinct spans), which
+  * AQE broadcasts when it is small enough.
+  *
+  * Reference scope: the reference engine's text pipeline stops at
+  * per-document stats; these are the corpus-level companions a training-
+  * data pipeline needs on top (keyword extraction for filtering/topic
+  * bucketing, duplicated-span fractions for boilerplate detection à la
+  * Gopher/FineWeb dup-ngram filters).
+  */
+object Corpus {
+
+  /** Top-k terms per document by TF-IDF.
+    *
+    * tf = termCount / docLength; idf is the log-free smoothed reciprocal
+    * `(N + 1) / (df + 1)` rather than `ln(N / df)`: same monotonicity in
+    * df, but free of transcendentals, so Spark and the DuckDB oracle
+    * compute bit-identical doubles (JVM `Math.log` and libm `log` are
+    * not guaranteed to round identically, which would flip rank ties).
+    * Ranking ties break lexicographically on the token for cross-engine
+    * determinism.
+    *
+    * Plan shape: explode → one (doc, token) count shuffle; doc length re-
+    * aggregated from the counts by a window over the doc id; document
+    * frequency from a token-keyed second aggregate joined back (equi-join
+    * on the token — broadcastable whenever the vocabulary is small); N
+    * via a broadcast 1-row cross join so the whole thing stays one lazy
+    * plan. A production caller composing several consumers of the
+    * (doc, token) counts should persist that frame once.
+    *
+    * Output: (idCol, token, tf_count, doc_freq, tfidf_raw, rnk), rnk in
+    * [1, k]. `tfidf_raw` is the unrounded double — gate wrappers round.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val id = col(idCol)
+    val tf = docs
+      .select(id, explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(id, col("token"))
+      .agg(count(lit(1)).as("tf_count"))
+    val withLen = tf.withColumn("__len",
+      sum(col("tf_count")).over(Window.partitionBy(id)))
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = withLen
+      .join(docFreq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_raw",
+        (col("tf_count").cast("double") / col("__len").cast("double")) *
+          ((col("__n") + lit(1L)).cast("double") /
+            (col("doc_freq") + lit(1L)).cast("double")))
+    val w = Window.partitionBy(id).orderBy(col("tfidf_raw").desc, col("token"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(id, col("token"), col("tf_count"), col("doc_freq"),
+        col("tfidf_raw"), col("rnk"))
+  }
+
+  /** Per-document cross-corpus duplicated-span profile: of a document's
+    * DISTINCT n-token spans, how many also occur in at least one OTHER
+    * document — the corpus-internal repetition signal (boilerplate,
+    * templated spam, partial copies) that exact dedup misses and pairwise
+    * near-dup only surfaces for whole documents.
+    *
+    * Spans are md5-hashed before the distinct/shuffle, so the shuffle key
+    * is a fixed 32-byte hash regardless of n; span multiplicity is a
+    * count over (doc, hash)-distinct rows, i.e. `nd` = number of distinct
+    * documents containing the span.
+    *
+    * Output: (idCol, n_spans, n_dup, dup_frac_raw) — one row per document
+    * that has at least one span (every document, given the clamped-gram
+    * convention of [[TextFunctions.wordShingles]]).
+    */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val id = col(idCol)
+    val spans = docs
+      .select(id, explode(
+        TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), n)).as("__g"))
+      .select(id, md5(col("__g")).as("__h"))
+      .distinct()
+    val freq = spans.groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
+    spans.join(freq, Seq("__h"))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__nd") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup"))
+      .withColumn("dup_frac_raw",
+        col("n_dup").cast("double") / col("n_spans").cast("double"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Decontamination, Dedup, Embeddings, Sampling, TextFunctions => TF}
+import graft.llm.{Corpus, Decontamination, Dedup, Embeddings, Sampling, TextFunctions => TF}
 import org.apache.spark.sql.functions._
 
 /** LLM training-data pipeline queries over the driver's `documents` and
@@ -494,6 +494,57 @@ object LlmQueries {
            | CAST(CASE WHEN top_frac <= 0.2 AND dup_frac <= 0.3
            |   THEN 1 ELSE 0 END AS INT) AS keep
            |FROM m""".stripMargin
+      }),
+
+    // TF-IDF top-3 terms per document (keyword extraction for topic
+    // bucketing / filtering). Log-free smoothed idf = (N+1)/(df+1) keeps
+    // the score transcendental-free, so both engines rank identical
+    // doubles; ties break on the token.
+    QueryDef("llm_tfidf_topk",
+      (s, dir) => Corpus.tfidfTopK(
+          QueryDef.table(s, dir, "documents"), "doc_id", "text", 3)
+        .select(col("doc_id"), col("token"), col("tf_count"), col("doc_freq"),
+          round(col("tfidf_raw") + lit(1e-6), 4).as("tfidf"), col("rnk")),
+      Some(s"""WITH t AS ($toksCte),
+              |e AS (SELECT doc_id, unnest(w) AS token FROM t),
+              |tf AS (SELECT doc_id, token, count(*) AS tf_count FROM e GROUP BY 1, 2),
+              |l AS (SELECT doc_id, sum(tf_count) AS len FROM tf GROUP BY 1),
+              |d AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+              |n AS (SELECT count(*) AS n FROM documents),
+              |sc AS (SELECT tf.doc_id, tf.token, tf.tf_count, d.doc_freq,
+              |   (tf.tf_count::DOUBLE / l.len::DOUBLE)
+              |     * ((n.n + 1)::DOUBLE / (d.doc_freq + 1)::DOUBLE) AS score
+              |  FROM tf JOIN l USING (doc_id) JOIN d USING (token) CROSS JOIN n),
+              |r AS (SELECT *, row_number() OVER
+              |   (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk FROM sc)
+              |SELECT doc_id, token, tf_count, doc_freq,
+              | round(score + 0.000001, 4) AS tfidf, CAST(rnk AS INT) AS rnk
+              |FROM r WHERE rnk <= 3""".stripMargin)),
+
+    // Cross-document duplicated-span profile: per doc, how many of its
+    // distinct 5-token spans occur in >= 2 documents (the Gopher/FineWeb
+    // style dup-ngram boilerplate signal, corpus-internal — distinct from
+    // llm_decontaminate_ngram's eval-set overlap). Shuffle key is the
+    // md5 span hash, never span text.
+    QueryDef("llm_dup_spans",
+      (s, dir) => Corpus.dupSpanStats(
+          QueryDef.table(s, dir, "documents"), "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_spans"), col("n_dup"),
+          round(col("dup_frac_raw") + lit(1e-6), 4).as("dup_frac")),
+      Some {
+        val sh5 = "list_transform(range(1, greatest(len(w)-4, 1)+1), " +
+          "i -> array_to_string(w[i:i+4], ' '))"
+        s"""WITH t AS ($toksCte),
+           |s0 AS (SELECT doc_id, unnest($sh5) AS g FROM t),
+           |s AS (SELECT DISTINCT doc_id, md5(g) AS h FROM s0),
+           |f AS (SELECT h, count(*) AS nd FROM s GROUP BY 1),
+           |a AS (SELECT s.doc_id, count(*) AS n_spans,
+           |   sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+           |  FROM s JOIN f USING (h) GROUP BY 1)
+           |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           | CAST(n_dup AS BIGINT) AS n_dup,
+           | round(n_dup::DOUBLE / n_spans::DOUBLE + 0.000001, 4) AS dup_frac
+           |FROM a""".stripMargin
       }),
 
     // Rolling-hash document fingerprint (1-function MinHash).

@@ -69,4 +69,20 @@ class LlmPlanSpec extends AnyFunSuite with SparkSpec {
         "no corpus-side shuffle before the confirm join at broadcast scale")
     }
   }
+
+  test("tfidf: the 1-row corpus-count join broadcasts, never a cartesian product") {
+    withoutAqe {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val plan = Corpus.tfidfTopK(docs, "doc_id", "text", 3)
+        .queryExecution.executedPlan
+      val cartesians = plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }
+      assert(cartesians.isEmpty, "N must arrive via broadcast, not a cartesian")
+      val bnl = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      assert(bnl.nonEmpty, "expected the broadcast 1-row N join in the plan")
+    }
+  }
 }

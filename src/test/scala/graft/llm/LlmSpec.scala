@@ -349,4 +349,32 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.keySet == Set((0L, 1L)))
     assert(math.abs(pairs((0L, 1L)) - 1.0) < 1e-12)
   }
+
+  test("tfidf ranks a document-specific term above corpus-wide terms") {
+    val docs = Seq(
+      (0L, "apple apple common filler"),
+      (1L, "common filler other words"),
+      (2L, "common filler more words"),
+      (3L, "common filler yet again")
+    ).toDF("doc_id", "text")
+    val top = Corpus.tfidfTopK(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getInt(5)))
+    val doc0 = top.filter(_._1 == 0L).sortBy(_._4)
+    assert(doc0.head._2 == "apple", s"doc 0 top term should be 'apple', got $doc0")
+    assert(doc0.head._3 == 1L, "'apple' appears in exactly one document")
+    assert(top.count(_._1 == 0L) == 2 && top.forall(t => t._4 >= 1 && t._4 <= 2))
+  }
+
+  test("dup-span stats count exactly the spans shared across documents") {
+    val docs = Seq(
+      (0L, "a b c d e"),   // spans3: "a b c","b c d","c d e"
+      (1L, "x a b c y"),   // shares only "a b c"
+      (2L, "p q r s t")    // shares nothing
+    ).toDF("doc_id", "text")
+    val out = Corpus.dupSpanStats(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((3L, 1L)), s"doc 0: 3 spans, 1 shared; got ${out(0L)}")
+    assert(out(1L) == ((3L, 1L)))
+    assert(out(2L) == ((3L, 0L)))
+  }
 }
