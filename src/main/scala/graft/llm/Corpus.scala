@@ -68,6 +68,39 @@ object Corpus {
         col("tfidf_raw"), col("rnk"))
   }
 
+  /** GPT-style sequence-packing layout: documents are (logically)
+    * concatenated per source in id order and the token stream is cut into
+    * fixed `capacity`-token training windows; each document's row reports
+    * its stream offset and the first/last window it lands in (documents
+    * straddle window boundaries, as in concat-then-chunk pretraining
+    * batchers).
+    *
+    * The recurrence-free formulation — prefix sum + integer division —
+    * keeps packing a pure window plan: partitioned by the source column,
+    * scale-out across sources, no sequential driver loop and no stateful
+    * UDF. (A no-straddle first-fit variant is a sequential recurrence per
+    * source and deliberately not offered: at 100 TB the concat-then-chunk
+    * layout is what trainers use, and it parallelizes.)
+    *
+    * Output: (idCol, sourceCol, n_tokens, tok_offset, pack_first,
+    * pack_last, n_packs), all counts as longs.
+    */
+  def packChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+    docs
+      .select(col(idCol), col(sourceCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__end", sum(col("n_tokens")).over(w))
+      .withColumn("tok_offset", col("__end") - col("n_tokens"))
+      .withColumn("pack_first", expr(s"tok_offset div $capacity"))
+      .withColumn("pack_last", expr(s"(__end - 1) div $capacity"))
+      .withColumn("n_packs", col("pack_last") - col("pack_first") + lit(1L))
+      .drop("__end")
+  }
+
   /** Per-document cross-corpus duplicated-span profile: of a document's
     * DISTINCT n-token spans, how many also occur in at least one OTHER
     * document — the corpus-internal repetition signal (boilerplate,

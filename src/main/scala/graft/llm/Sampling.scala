@@ -43,6 +43,26 @@ object Sampling {
         .withColumn("mix_source", lit(tag))
     }.reduce(_.unionByName(_))
 
+  /** Deterministic train/val/test split: each row is assigned to one
+    * named split by its hash bucket against cumulative integer
+    * thresholds (declaration order; weights sum to 1). Same
+    * reproducibility contract as sampling — membership is a pure
+    * function of the id, so the split survives reruns, repartitioning
+    * and engine swaps, and a row can never land in two splits. Pure
+    * projection: no shuffle.
+    */
+  def split(df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val cums = splits.scanLeft(0L) { case (acc, (_, w)) => acc + math.round(w * Buckets) }.tail
+    val b = hashBucket(col(idCol))
+    val first = when(b < lit(cums.head), lit(splits.head._1))
+    val chained = splits.tail.init.zip(cums.tail.init).foldLeft(first) {
+      case (acc, ((name, _), cum)) => acc.when(b < lit(cum), lit(name))
+    }
+    df.withColumn("split", chained.otherwise(lit(splits.last._1)))
+  }
+
   /** Keep each row with its stratum's probability (integer
     * per-ten-thousand thresholds, so the comparison is exact — no float
     * boundary). Strata absent from `rates` fall back to `defaultRate`.

@@ -330,6 +330,36 @@ object LlmQueries {
            |WHERE source != 'src0' AND ${bucket("rest")} < 2000""".stripMargin
       }),
 
+    // Deterministic 80/10/10 train/val/test split: hash-bucket ranges,
+    // so assignment is reproducible and partition-independent; oracle
+    // replays the cumulative-threshold CASE.
+    QueryDef("llm_split",
+      (s, dir) => Sampling.split(QueryDef.table(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("split")),
+      Some(s"""SELECT doc_id, lang,
+              | CASE WHEN ${hashFoldSql("CAST(doc_id AS VARCHAR)")} % 10000 < 8000 THEN 'train'
+              |      WHEN ${hashFoldSql("CAST(doc_id AS VARCHAR)")} % 10000 < 9000 THEN 'val'
+              |      ELSE 'test' END AS split
+              |FROM documents""".stripMargin)),
+
+    // GPT-style sequence packing: per-source concat-then-chunk layout
+    // into 512-token training windows — prefix-sum + integer division,
+    // a pure window plan partitioned by source (no sequential packer).
+    QueryDef("llm_pack",
+      (s, dir) => Corpus.packChunks(
+        QueryDef.table(s, dir, "documents"), "doc_id", "text", "source", 512),
+      Some("""WITH t AS (SELECT doc_id, source,
+             |   len(string_split(text, ' ')) AS n_tokens FROM documents),
+             |c AS (SELECT doc_id, source, n_tokens,
+             |   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS e FROM t)
+             |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             | CAST(e - n_tokens AS BIGINT) AS tok_offset,
+             | CAST((e - n_tokens) // 512 AS BIGINT) AS pack_first,
+             | CAST((e - 1) // 512 AS BIGINT) AS pack_last,
+             | CAST((e - 1) // 512 - (e - n_tokens) // 512 + 1 AS BIGINT) AS n_packs
+             |FROM c""".stripMargin)),
+
     // Vocabulary building: top-5 most frequent tokens per language
     // (count by (lang, token) -> per-lang rank window). Ties broken
     // lexicographically so both engines rank identically.

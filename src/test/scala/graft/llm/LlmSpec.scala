@@ -377,4 +377,31 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) == ((3L, 1L)))
     assert(out(2L) == ((3L, 0L)))
   }
+
+  test("sequence packing: offsets are a prefix sum, windows straddle correctly") {
+    val docs = Seq(
+      (0L, ("w " * 5).trim, "s"),   // 5 tokens  -> [0, 5)   pack 0
+      (1L, ("w " * 4).trim, "s"),   // 4 tokens  -> [5, 9)   straddles 0 -> 1 at cap 8
+      (2L, ("w " * 8).trim, "s"),   // 8 tokens  -> [9, 17)  packs 1..2
+      (3L, ("w " * 2).trim, "t")    // other source restarts at offset 0
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.packChunks(docs, "doc_id", "text", "source", capacity = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out(0L) == ((0L, 0L, 0L, 1L)))
+    assert(out(1L) == ((5L, 0L, 1L, 2L)), "doc 1 must straddle packs 0 and 1")
+    assert(out(2L) == ((9L, 1L, 2L, 2L)))
+    assert(out(3L) == ((0L, 0L, 0L, 1L)), "new source restarts the stream")
+  }
+
+  test("hash split is exclusive, exhaustive, and near the requested weights") {
+    val docs = spark.range(0, 2000).toDF("doc_id")
+    val out = Sampling.split(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 2000L, "every row lands in exactly one split")
+    assert(out("train") > 1500 && out("train") < 1700, s"train ~80%: $out")
+    assert(out("val") > 120 && out("val") < 280, s"val ~10%: $out")
+  }
 }
