@@ -101,6 +101,39 @@ object Corpus {
       .drop("__end")
   }
 
+  /** Overlapping token-window chunking — the embedding/RAG-prep
+    * primitive: each document becomes `1 + ceil(max(n-size,0)/stride)`
+    * chunks of up to `size` tokens starting every `stride` tokens (the
+    * final chunk may be short; `stride < size` gives overlap). Pure
+    * per-row explode + array slicing: no shuffle, chunk count bounded by
+    * the document's own length, integer arithmetic only (oracle-exact).
+    *
+    * Output: (idCol, chunk_idx, chunk_start, chunk_len, chunk_text,
+    * chunk_hash) — chunk_start is the 0-based token offset; chunk_hash
+    * is md5 of the chunk text (the compact join/dedup key downstream).
+    */
+  def chunkTokens(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0,
+      s"chunkSize/stride must be positive: $chunkSize/$stride")
+    val id = col(idCol)
+    docs
+      .select(id, TextFunctions.tokens(col(textCol)).as("__t"))
+      // number of chunks minus one: ceil(max(n - chunkSize, 0) / stride)
+      // in pure integer arithmetic (`div`), oracle-identical
+      .withColumn("__nc",
+        expr(s"(greatest(size(__t) - $chunkSize, 0) + ${stride - 1}) div $stride"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("__nc").cast("long"))))
+      .withColumn("chunk_start", col("chunk_idx") * lit(stride.toLong))
+      .withColumn("__ct",
+        slice(col("__t"), (col("chunk_start") + lit(1L)).cast("int"), lit(chunkSize)))
+      .select(id, col("chunk_idx"), col("chunk_start"),
+        size(col("__ct")).cast("long").as("chunk_len"),
+        array_join(col("__ct"), " ").as("chunk_text"),
+        md5(array_join(col("__ct"), " ")).as("chunk_hash"))
+  }
+
   /** Per-document cross-corpus duplicated-span profile: of a document's
     * DISTINCT n-token spans, how many also occur in at least one OTHER
     * document — the corpus-internal repetition signal (boilerplate,

@@ -360,6 +360,26 @@ object LlmQueries {
              | CAST((e - 1) // 512 - (e - n_tokens) // 512 + 1 AS BIGINT) AS n_packs
              |FROM c""".stripMargin)),
 
+    // Overlapping token-window chunking (32-token chunks, stride 24):
+    // the embedding/RAG-prep primitive. Per-row explode, no shuffle;
+    // chunk geometry is pure integer arithmetic so the oracle replays
+    // it exactly, and chunk content is pinned by the md5 chunk hash.
+    QueryDef("llm_chunk",
+      (s, dir) => Corpus.chunkTokens(
+          QueryDef.table(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          col("chunk_len"), col("chunk_hash")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |n AS (SELECT doc_id, w,
+             |   (greatest(len(w) - 32, 0) + 23) // 24 AS nc FROM t),
+             |c AS (SELECT doc_id, w, unnest(range(0, nc + 1)) AS chunk_idx FROM n)
+             |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             | CAST(chunk_idx * 24 AS BIGINT) AS chunk_start,
+             | CAST(len(w[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS BIGINT) AS chunk_len,
+             | md5(array_to_string(w[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')) AS chunk_hash
+             |FROM c""".stripMargin)),
+
     // Vocabulary building: top-5 most frequent tokens per language
     // (count by (lang, token) -> per-lang rank window). Ties broken
     // lexicographically so both engines rank identically.

@@ -394,6 +394,21 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) == ((0L, 0L, 0L, 1L)), "new source restarts the stream")
   }
 
+  test("chunking covers every token with the requested overlap; short docs get one chunk") {
+    val docs = Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (1L, "a b c")                                    // shorter than one chunk
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkTokens(docs, "doc_id", "text", chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    val d0 = out.filter(_._1 == 0L).sortBy(_._2)
+    // ceil((10-4)/3)+1 = 3 chunks at starts 0,3,6; 6+4=10 covers every token
+    assert(d0.map(c => (c._3, c._4)) === Seq(
+      (0L, "t1 t2 t3 t4"), (3L, "t4 t5 t6 t7"), (6L, "t7 t8 t9 t10")))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.length == 1 && d1.head._4 == "a b c")
+  }
+
   test("hash split is exclusive, exhaustive, and near the requested weights") {
     val docs = spark.range(0, 2000).toDF("doc_id")
     val out = Sampling.split(docs, "doc_id",
