@@ -25,12 +25,17 @@ object Corpus {
   /** Top-k terms per document by TF-IDF.
     *
     * tf = termCount / docLength; idf is the log-free smoothed reciprocal
-    * `(N + 1) / (df + 1)` rather than `ln(N / df)`: same monotonicity in
-    * df, but free of transcendentals, so Spark and the DuckDB oracle
-    * compute bit-identical doubles (JVM `Math.log` and libm `log` are
-    * not guaranteed to round identically, which would flip rank ties).
-    * Ranking ties break lexicographically on the token for cross-engine
-    * determinism.
+    * `(N + 1) / (df + 1)` rather than `ln(N / df)` — free of
+    * transcendentals, so Spark and the DuckDB oracle compute
+    * bit-identical doubles (JVM `Math.log` and libm `log` are not
+    * guaranteed to round identically, which would flip rank ties).
+    * CAVEAT: linear idf is monotone in df per term, but the tf·idf
+    * PRODUCT ordering is not that of log-TF-IDF — it overweights very
+    * rare terms (a hapax typo can outrank a genuinely frequent topical
+    * term). `minDf` is the practical mitigation: terms in fewer than
+    * `minDf` documents are excluded from ranking (2 drops hapaxes; 1 is
+    * a no-op). Ranking ties break lexicographically on the token for
+    * cross-engine determinism.
     *
     * Plan shape: explode → one (doc, token) count shuffle; doc length re-
     * aggregated from the counts by a window over the doc id; document
@@ -43,7 +48,9 @@ object Corpus {
     * Output: (idCol, token, tf_count, doc_freq, tfidf_raw, rnk), rnk in
     * [1, k]. `tfidf_raw` is the unrounded double — gate wrappers round.
     */
-  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def tfidfTopK(
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      minDf: Int = 1): DataFrame = {
     val id = col(idCol)
     val tf = docs
       .select(id, explode(TextFunctions.tokens(col(textCol))).as("token"))
@@ -52,6 +59,7 @@ object Corpus {
     val withLen = tf.withColumn("__len",
       sum(col("tf_count")).over(Window.partitionBy(id)))
     val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDf)
     val n = docs.agg(count(lit(1)).as("__n"))
     val scored = withLen
       .join(docFreq, Seq("token"))
@@ -120,10 +128,15 @@ object Corpus {
     val id = col(idCol)
     docs
       .select(id, TextFunctions.tokens(col(textCol)).as("__t"))
-      // number of chunks minus one: ceil(max(n - chunkSize, 0) / stride)
-      // in pure integer arithmetic (`div`), oracle-identical
+      // number of chunks minus one: ceil(max(n - chunkSize, 0) / stride),
+      // capped so the last chunk still STARTS inside the document — with
+      // stride > chunkSize (gapped sampling) the uncapped count would
+      // emit a zero-length phantom chunk whose md5("") hash collides
+      // across the whole corpus. Pure integer `div`, oracle-identical.
       .withColumn("__nc",
-        expr(s"(greatest(size(__t) - $chunkSize, 0) + ${stride - 1}) div $stride"))
+        least(
+          expr(s"(greatest(size(__t) - $chunkSize, 0) + ${stride - 1}) div $stride"),
+          expr(s"(size(__t) - 1) div $stride")))
       .withColumn("chunk_idx", explode(sequence(lit(0L), col("__nc").cast("long"))))
       .withColumn("chunk_start", col("chunk_idx") * lit(stride.toLong))
       .withColumn("__ct",

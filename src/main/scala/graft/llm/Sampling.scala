@@ -50,12 +50,19 @@ object Sampling {
     * function of the id, so the split survives reruns, repartitioning
     * and engine swaps, and a row can never land in two splits. Pure
     * projection: no shuffle.
+    *
+    * The bucket hash is salted with a fixed "split:" tag (same pattern
+    * as [[mix]]) so the assignment draws INDEPENDENTLY of any upstream
+    * [[stratified]]/[[mix]] filter on the same id — with the unsalted
+    * bucket, rows surviving a rate-r sample would all share low buckets
+    * and a downstream 80/10/10 split would put every one of them in
+    * 'train'.
     */
   def split(df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame = {
     require(splits.size >= 2, "need at least two splits")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
     val cums = splits.scanLeft(0L) { case (acc, (_, w)) => acc + math.round(w * Buckets) }.tail
-    val b = hashBucket(col(idCol))
+    val b = hashBucket(concat(lit("split:"), col(idCol).cast("string")))
     val first = when(b < lit(cums.head), lit(splits.head._1))
     val chained = splits.tail.init.zip(cums.tail.init).foldLeft(first) {
       case (acc, ((name, _), cum)) => acc.when(b < lit(cum), lit(name))

@@ -331,17 +331,21 @@ object LlmQueries {
       }),
 
     // Deterministic 80/10/10 train/val/test split: hash-bucket ranges,
-    // so assignment is reproducible and partition-independent; oracle
-    // replays the cumulative-threshold CASE.
+    // so assignment is reproducible and partition-independent; the
+    // "split:" salt keeps it independent of upstream hash sampling on
+    // the same id. Oracle replays the cumulative-threshold CASE.
     QueryDef("llm_split",
       (s, dir) => Sampling.split(QueryDef.table(s, dir, "documents"), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("lang"), col("split")),
-      Some(s"""SELECT doc_id, lang,
-              | CASE WHEN ${hashFoldSql("CAST(doc_id AS VARCHAR)")} % 10000 < 8000 THEN 'train'
-              |      WHEN ${hashFoldSql("CAST(doc_id AS VARCHAR)")} % 10000 < 9000 THEN 'val'
-              |      ELSE 'test' END AS split
-              |FROM documents""".stripMargin)),
+      Some {
+        val b = hashFoldSql("'split:' || CAST(doc_id AS VARCHAR)") + " % 10000"
+        s"""SELECT doc_id, lang,
+           | CASE WHEN $b < 8000 THEN 'train'
+           |      WHEN $b < 9000 THEN 'val'
+           |      ELSE 'test' END AS split
+           |FROM documents""".stripMargin
+      }),
 
     // GPT-style sequence packing: per-source concat-then-chunk layout
     // into 512-token training windows — prefix-sum + integer division,
@@ -372,7 +376,8 @@ object LlmQueries {
           col("chunk_len"), col("chunk_hash")),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |n AS (SELECT doc_id, w,
-             |   (greatest(len(w) - 32, 0) + 23) // 24 AS nc FROM t),
+             |   least((greatest(len(w) - 32, 0) + 23) // 24,
+             |         (len(w) - 1) // 24) AS nc FROM t),
              |c AS (SELECT doc_id, w, unnest(range(0, nc + 1)) AS chunk_idx FROM n)
              |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
              | CAST(chunk_idx * 24 AS BIGINT) AS chunk_start,
@@ -552,14 +557,15 @@ object LlmQueries {
     // doubles; ties break on the token.
     QueryDef("llm_tfidf_topk",
       (s, dir) => Corpus.tfidfTopK(
-          QueryDef.table(s, dir, "documents"), "doc_id", "text", 3)
+          QueryDef.table(s, dir, "documents"), "doc_id", "text", 3, minDf = 2)
         .select(col("doc_id"), col("token"), col("tf_count"), col("doc_freq"),
           round(col("tfidf_raw") + lit(1e-6), 4).as("tfidf"), col("rnk")),
       Some(s"""WITH t AS ($toksCte),
               |e AS (SELECT doc_id, unnest(w) AS token FROM t),
               |tf AS (SELECT doc_id, token, count(*) AS tf_count FROM e GROUP BY 1, 2),
               |l AS (SELECT doc_id, sum(tf_count) AS len FROM tf GROUP BY 1),
-              |d AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+              |d AS (SELECT token, count(*) AS doc_freq FROM tf
+              |  GROUP BY 1 HAVING count(*) >= 2),
               |n AS (SELECT count(*) AS n FROM documents),
               |sc AS (SELECT tf.doc_id, tf.token, tf.tf_count, d.doc_freq,
               |   (tf.tf_count::DOUBLE / l.len::DOUBLE)

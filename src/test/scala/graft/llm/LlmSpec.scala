@@ -407,6 +407,12 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
       (0L, "t1 t2 t3 t4"), (3L, "t4 t5 t6 t7"), (6L, "t7 t8 t9 t10")))
     val d1 = out.filter(_._1 == 1L)
     assert(d1.length == 1 && d1.head._4 == "a b c")
+    // gapped sampling (stride > chunkSize) must not emit a zero-length
+    // phantom chunk past the end (its md5("") would collide corpus-wide)
+    val gapped = Corpus.chunkTokens(docs, "doc_id", "text", chunkSize = 2, stride = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
+    assert(gapped.forall(_._2 > 0), s"empty phantom chunk emitted: ${gapped.toSeq}")
+    assert(gapped.count(_._1 == 1L) == 1)
   }
 
   test("hash split is exclusive, exhaustive, and near the requested weights") {
@@ -418,5 +424,19 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(out.values.sum == 2000L, "every row lands in exactly one split")
     assert(out("train") > 1500 && out("train") < 1700, s"train ~80%: $out")
     assert(out("val") > 120 && out("val") < 280, s"val ~10%: $out")
+  }
+
+  test("split draws independently of an upstream hash sample (salted bucket)") {
+    // unsalted, rows surviving a rate-0.5 sample all have bucket < 5000
+    // and an 80/10/10 split would label every one of them 'train'
+    val docs = spark.range(0, 2000).toDF("doc_id")
+      .withColumn("s", org.apache.spark.sql.functions.lit("x"))
+    val sampled = Sampling.stratified(docs, "doc_id", "s", rates = Map("x" -> 0.5))
+    val out = Sampling.split(sampled, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.contains("val") && out.contains("test"),
+      s"val/test must survive composition with upstream sampling: $out")
   }
 }
