@@ -70,6 +70,17 @@ class LlmPlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sequence packing is one exchange: the per-source window, nothing else") {
+    withoutAqe {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val plan = Corpus.packChunks(docs, "doc_id", "text", "source", 512)
+        .queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.length == 1,
+        s"packing must cost exactly the source-partition exchange, got ${shuffles.length}")
+    }
+  }
+
   test("tfidf: the 1-row corpus-count join broadcasts, never a cartesian product") {
     withoutAqe {
       val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
