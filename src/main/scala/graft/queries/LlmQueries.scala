@@ -465,6 +465,43 @@ object LlmQueries {
            |GROUP BY lang""".stripMargin
       }),
 
+    // Training-set preparation pipeline: quality filter -> salted
+    // train/val/test split -> keep the train slice -> sequence-pack it.
+    // The composition gate for the round-4 prep operators: one lazy
+    // plan, the oracle replaying the whole chain (thresholding raw
+    // quality doubles is safe — identical IEEE expression both sides,
+    // pinned by llm_quality).
+    QueryDef("llm_pipeline_prep",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        val kept = docs.filter(TF.qualityScore(col("text")) >= 0.5)
+        val train = Sampling.split(kept, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .filter(col("split") === "train")
+        Corpus.packChunks(train, "doc_id", "text", "source", 512)
+      },
+      Some {
+        val stop = TF.Stopwords.map(w => s"'$w'").mkString(", ")
+        val b = hashFoldSql("'split:' || CAST(doc_id AS VARCHAR)") + " % 10000"
+        s"""WITH t2 AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           |  FROM documents),
+           |q AS (SELECT doc_id, source, w,
+           |  0.3 * least(len(w)::DOUBLE / 100.0, 1.0)
+           |  + 0.4 * (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE)
+           |  + 0.3 * (1.0 - len(list_filter(w, x -> x IN ($stop)))::DOUBLE / len(w)::DOUBLE)
+           |  AS qual FROM t2),
+           |tr AS (SELECT doc_id, source, len(w) AS n_tokens FROM q
+           |  WHERE qual >= 0.5 AND $b < 8000),
+           |c AS (SELECT doc_id, source, n_tokens,
+           |   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS e FROM tr)
+           |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           | CAST(e - n_tokens AS BIGINT) AS tok_offset,
+           | CAST((e - n_tokens) // 512 AS BIGINT) AS pack_first,
+           | CAST((e - 1) // 512 AS BIGINT) AS pack_last,
+           | CAST((e - 1) // 512 - (e - n_tokens) // 512 + 1 AS BIGINT) AS n_packs
+           |FROM c""".stripMargin
+      }),
+
     // Corpus stats: per (lang, source) token/char aggregates.
     QueryDef("llm_text_stats",
       (s, dir) => QueryDef.table(s, dir, "documents")

@@ -171,4 +171,28 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("range-partitioned sorted layout yields disjoint per-file ranges (scan-pruning layout)") {
+    // The data-layout prerequisite for parquet min/max row-group pruning
+    // at scale: repartitionByRange + sortWithinPartitions gives each
+    // output file a disjoint key range, so a point/range filter touches
+    // one file's row groups instead of all of them.
+    val out = "target/test_range_layout"
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .repartitionByRange(4, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length >= 2, "need multiple files to prove disjointness")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(unix_micros(to_utc_timestamp(col("l_shipdate"), "UTC"))),
+          max(unix_micros(to_utc_timestamp(col("l_shipdate"), "UTC")))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"file ranges overlap: $hi > $lo")
+    }
+  }
 }
