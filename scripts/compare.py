@@ -15,14 +15,15 @@ def norm(v):
         return round(v, 6)
     return v
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, prefix=""):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     import os
-    names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(f"{out_dir}/{d}") and d.startswith(prefix))
     for name in names:
         got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
         if name not in oracle:
@@ -57,4 +58,4 @@ def main(sf_dir, out_dir):
     sys.exit(1 if failures else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else "")

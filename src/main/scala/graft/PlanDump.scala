@@ -41,7 +41,7 @@ object PlanDump {
       docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", Seq("lang")))
     dump("llm_multitable_ann", llm.Embeddings.lshTopKMultiTable(
       emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-      bits = 4, tables = 3, k = 3))
+      dim = 64, bits = 3, tables = 10, k = 3))
     dump("llm_minhash_salted", llm.Dedup.minhashPairs(
       docs, "doc_id", "text", saltHotBuckets = true))
     dump("llm_tfidf_topk", llm.Corpus.tfidfTopK(docs, "doc_id", "text", 3))

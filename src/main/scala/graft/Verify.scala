@@ -5,14 +5,19 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: only run queries whose name starts with the
+    // prefix (dev-loop subset runs; the driver always passes 2 args)
+    val (sfDir, outDir, prefix) = args match {
+      case Array(s, o)    => (s, o, "")
+      case Array(s, o, p) => (s, o, p)
+    }
     // Lets dir-sensitive queries (FormatQueries) fail loudly when the
     // verify dir doesn't match their static oracle paths.
     System.setProperty("graft.verify", "true")
     val spark = GraftSession.build(GraftSession.cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -30,7 +30,7 @@ class LlmPlanSpec extends AnyFunSuite with SparkSpec {
       val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       val q = emb.filter(col("vec_id") < 10)
       val df = Embeddings.lshTopKMultiTable(emb, q, "vec_id", "embedding",
-        bits = 4, tables = 3, k = 3)
+        dim = 64, bits = 3, tables = 10, k = 3)
       val joins = bhjs(df)
       assert(joins.nonEmpty, "bucket join must plan as BroadcastHashJoin")
       val shufflesBelow = joins.head.collect { case e: ShuffleExchangeExec => e }.length
