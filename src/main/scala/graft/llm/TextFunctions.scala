@@ -189,12 +189,30 @@ object TextFunctions {
 
   /** Fraction of tokens taken by the single most frequent token — the
     * Gopher-style repetition signal (boilerplate and spam concentrate
-    * mass on one token; prose doesn't). Pure per-row HOF arithmetic:
-    * O(distinct × tokens) per document, no shuffle, codegen-eligible.
+    * mass on one token; prose doesn't). Pure per-row HOF arithmetic, no
+    * shuffle: sort once, then ONE linear fold tracking the longest run
+    * of equal adjacent tokens — O(n log n) per document, vs the old
+    * `transform(array_distinct, x => size(filter(toks, == x)))` which
+    * was O(distinct × tokens): ~10¹⁰ comparisons inside one row for a
+    * 100k-token near-unique-vocabulary document, i.e. one straggler
+    * task stalling a whole 100-TB quality pass. The value is engine-
+    * independent: any total order makes equal tokens adjacent, so the
+    * max run equals the max multiplicity regardless of sort tie-breaks
+    * (the DuckDB oracle keeps its direct count-per-distinct form).
     */
-  def topTokenFraction(toks: Column): Column =
-    array_max(transform(array_distinct(toks),
-      x => size(filter(toks, y => y === x)))).cast("double") / size(toks)
+  def topTokenFraction(toks: Column): Column = {
+    // run starts at 0, so a first token equal to the "" sentinel still
+    // counts correctly (0+1); best of an empty array stays 0
+    val best = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    best.cast("double") / size(toks)
+  }
 
   /** Fraction of word bigrams that are repeats of an earlier bigram
     * (`1 - distinct/total`) — the second Gopher-style repetition signal,

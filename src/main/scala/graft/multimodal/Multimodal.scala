@@ -11,13 +11,19 @@ import org.apache.spark.sql.types._
   * one iterator per partition, rows streamed through, output schema
   * declared up front), partitioning — is real and oracle-checked.
   *
-  * ==DECODE IS A STUB==
-  * This container has no image/audio codecs, so [[decode]] derives
-  * DETERMINISTIC FAKE metadata from the sha-256 of the payload instead of
-  * parsing media headers. A production deployment swaps `fakeMeta` for a
-  * real decoder (javacv / TwelveMonkeys / ffmpeg-over-pipe) without
-  * touching any of the surrounding plumbing; the fake is pure arithmetic
-  * on the digest precisely so the DuckDB oracle can replay it.
+  * ==DECODE SCOPE==
+  * IMAGE payloads are decoded for REAL: JDK `javax.imageio` parses
+  * PNG/JPEG/GIF/BMP headers with zero added dependencies, and the
+  * `mm_decode_png` gate hash-checks genuine decoded dimensions against
+  * fixture-derived expectations. Two documented stubs remain:
+  *   - AUDIO/VIDEO metadata (this container has no media codecs) —
+  *     [[fakeMeta]] derives deterministic fake fields from the payload's
+  *     sha-256 so the DuckDB oracle can replay them; a production
+  *     deployment swaps in javacv / ffmpeg-over-pipe without touching
+  *     the surrounding plumbing;
+  *   - an image payload ImageIO can't parse (e.g. the text-byte stand-in
+  *     payloads of the aggregate gates) falls back to the same fake,
+  *     keeping malformed inputs non-fatal and oracle-replayable.
   */
 object Multimodal {
 
@@ -47,9 +53,38 @@ object Multimodal {
     (width, height, frames, duration)
   }
 
+  /** Deterministic in-memory PNG (JDK ImageIO encoder; headless-safe) —
+    * fixture support for the real-decode gate and specs: pixel content
+    * is a fixed function of (x, y, seed), so the same call always
+    * produces byte-identical fixtures.
+    */
+  def pngBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x * 31 + y * 17 + seed * 7919) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real image header decode: width × height via JDK ImageIO
+    * (PNG/JPEG/GIF/BMP). None when the bytes aren't a parsable image.
+    */
+  private[multimodal] def imageMeta(payload: Array[Byte]): Option[(Int, Int)] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      .map(img => (img.getWidth, img.getHeight))
+    catch { case _: java.io.IOException => None }
+
   /** Batched decode: one task per partition streams its rows through the
-    * (stubbed) decoder — the exact execution shape a Pandas-UDF
-    * `mapInPandas` decode stage has, minus the Arrow/IPC hop.
+    * decoder — the exact execution shape a Pandas-UDF `mapInPandas`
+    * decode stage has, minus the Arrow/IPC hop. Images decode for real
+    * ([[imageMeta]]); audio/video and unparsable images take the
+    * documented [[fakeMeta]] stub.
     */
   def decode(assets: DataFrame): DataFrame = {
     implicit val enc = Encoders.row(decodedSchema)
@@ -57,9 +92,14 @@ object Multimodal {
       .select(col("asset_id"), col("kind"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
+          val kind = r.getString(1)
           val payload = r.getAs[Array[Byte]](2)
-          val (w, h, f, d) = fakeMeta(r.getString(1), payload)
-          Row(r.getLong(0), r.getString(1), payload.length.toLong, w, h, f, d)
+          val (w, h, f, d) =
+            (if (kind == "image") imageMeta(payload) else None) match {
+              case Some((iw, ih)) => (iw, ih, 1, 1 / 24.0)
+              case None           => fakeMeta(kind, payload)
+            }
+          Row(r.getLong(0), kind, payload.length.toLong, w, h, f, d)
         }
       }.toDF()
   }

@@ -50,6 +50,29 @@ object MultimodalQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // REAL image decode: deterministic fixture PNGs (dims derived from
+    // the asset index by a fixed formula) flow through the batched
+    // decode stage; javax.imageio must recover the genuine width/height,
+    // and the oracle recomputes the expected dims from the same formula
+    // — if decode ever regressed to the stub, every row would mismatch.
+    QueryDef("mm_decode_png",
+      (s, dir) => {
+        import scala.jdk.CollectionConverters._
+        val n = 48
+        val rows: java.util.List[org.apache.spark.sql.Row] = (0 until n).map { i =>
+          val w = 8 + (i * 7) % 40
+          val h = 8 + (i * 11) % 40
+          org.apache.spark.sql.Row(i.toLong, "image", Multimodal.pngBytes(w, h, i))
+        }.asJava
+        Multimodal.decode(s.createDataFrame(rows, Multimodal.assetSchema))
+          .select(col("asset_id"), col("width"), col("height"), col("n_frames"))
+      },
+      Some("""SELECT CAST(i AS BIGINT) AS asset_id,
+             | CAST(8 + (i * 7) % 40 AS INT) AS width,
+             | CAST(8 + (i * 11) % 40 AS INT) AS height,
+             | CAST(1 AS INT) AS n_frames
+             |FROM range(0, 48) t(i)""".stripMargin)),
+
     // Frame sampling: every 24th frame index per video asset — the
     // explode-shaped pre-processing stage of a frame-level pipeline.
     QueryDef("mm_frames",

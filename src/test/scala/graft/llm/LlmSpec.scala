@@ -86,6 +86,25 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(m(2L)._1 < 0.2 && m(2L)._2 == 0.0, s"clean prose must pass: ${m(2L)}")
   }
 
+  test("topTokenFraction is linear: a 100k-token near-unique document finishes in seconds") {
+    import org.apache.spark.sql.functions.col
+    // ~unique vocabulary is the worst case for the old
+    // O(distinct × tokens) form (~10^10 comparisons in ONE row — a
+    // straggler task that stalls a full quality pass); the sorted-run
+    // fold must stay O(n log n). One planted token appears 7 times.
+    val n = 100000
+    val text = ((0 until n - 7).map(i => s"tok$i") ++ Seq.fill(7)("planted"))
+      .mkString(" ")
+    val docs = Seq((0L, text)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = docs.select(
+        TextFunctions.topTokenFraction(TextFunctions.tokens(col("text"))).as("top"))
+      .collect().head.getDouble(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(math.abs(out - 7.0 / n) < 1e-12, s"max multiplicity must be the planted 7: $out")
+    assert(secs < 20, f"long-document quality metric took $secs%.1f s — not linear")
+  }
+
   test("brute-force top-k ranks by cosine with deterministic ties") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),

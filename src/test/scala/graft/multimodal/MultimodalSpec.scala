@@ -21,7 +21,8 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     // deterministic: same payload -> same metadata on every run
     val again = Multimodal.decode(assets).collect().map(r => r.getLong(0) -> r).toMap
     for (id <- rows.keys) assert(rows(id) == again(id))
-    // stub invariants
+    // stub invariants (the text-byte "image" payload is unparsable, so
+    // it falls back to the digest stub like audio/video)
     for (r <- rows.values) {
       assert(r.getInt(3) >= 160 && r.getInt(3) < 1920)  // width
       assert(r.getInt(4) >= 120 && r.getInt(4) < 1080)  // height
@@ -29,6 +30,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
     assert(rows(0L).getInt(5) == 1, "non-video assets have one frame")
     assert(rows(2L).getInt(5) >= 1, "video has frames")
+  }
+
+  test("decode parses real PNG and JPEG dimensions via javax.imageio") {
+    val jpg = {
+      val img = new java.awt.image.BufferedImage(
+        33, 21, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val real = Seq(
+      (10L, "image", Multimodal.pngBytes(17, 9, seed = 3)),
+      (11L, "image", jpg),
+      (12L, "audio", Multimodal.pngBytes(17, 9, seed = 3)) // kind gates decode
+    ).toDF("asset_id", "kind", "payload")
+    val out = Multimodal.decode(real).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(out(10L) == ((17, 9, 1)), s"PNG dims must be decoded for real: ${out(10L)}")
+    assert(out(11L) == ((33, 21, 1)), s"JPEG dims must be decoded for real: ${out(11L)}")
+    assert(out(12L)._1 >= 160, "audio payloads never go through the image decoder")
   }
 
   test("fake embedding has fixed dim and is deterministic") {
