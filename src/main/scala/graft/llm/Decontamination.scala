@@ -28,11 +28,15 @@ object Decontamination {
     *     reach the join.
     *
     * At 100 TB the prefilter is the difference between shuffling every
-    * corpus gram and shuffling a sliver. The probe is a Scala UDF by
-    * necessity, documented: Spark exposes no public codegen'd
-    * might-contain over a driver-built sketch (BloomFilterMightContain
-    * is internal to runtime join filtering), and the probe runs on
-    * already-pruned single-column rows.
+    * corpus gram and shuffling a sliver. The probe is the codegen'd
+    * native expression [[graft.plans.BloomMightContain]] (whole-stage
+    * codegen, no per-row serialization tax); the sketch rides the
+    * stage's torrent-broadcast task binary, so it ships once per
+    * executor.
+    *
+    * EAGER: materializes (and returns a persisted handle to) the
+    * result before returning — see [[Dedup]]'s caching contract;
+    * `unpersist()` the returned frame when done.
     */
   def ngramOverlapBloom(
       corpus: DataFrame, evalDocs: DataFrame,
@@ -45,21 +49,19 @@ object Decontamination {
       .distinct()
       .persist()
     val bloom = evalGrams.stat.bloomFilter("g", math.max(evalGrams.count(), 1L), fpp)
-    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
-    val out = Dedup.scoped(
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    Dedup.scoped(
       corpus
         .select((col(idCol) +: keepCols.map(col)) :+ explode(
           TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), n)).as("g"): _*)
-        .filter(mightContain(col("g")))
+        .filter(call_function("graft_bloom_might_contain", col("g"), lit(bytes)))
         .join(evalGrams, Seq("g"), "left_semi")
         .select(col(idCol) +: keepCols.map(col): _*)
         .distinct(),
       evalGrams)
-    // the result is materialized by scoped(), so the (potentially large)
-    // sketch's executor copies can go; unpersist — not destroy — keeps it
-    // refetchable from the driver should the cached result be recomputed
-    bc.unpersist(blocking = false)
-    out
   }
 }

@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.minhashSig)
     ext.injectFunction(GraftExtensions.simhash)
+    ext.injectFunction(GraftExtensions.bloomMightContain)
   }
 }
 
@@ -45,6 +46,20 @@ object GraftExtensions {
           s"bits must be an integer literal, got $other")
       }
       SimHash(args.head, bits)
+    }
+  )
+
+  val bloomMightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_might_contain"),
+    new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_might_contain"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "graft_bloom_might_contain(value, sketch_bytes)")
+      val bytes = args(1) match {
+        case Literal(v: Array[Byte], org.apache.spark.sql.types.BinaryType) => v
+        case other => throw new IllegalArgumentException(
+          s"sketch_bytes must be a binary literal, got $other")
+      }
+      BloomMightContain(args.head, bytes)
     }
   )
 

@@ -54,7 +54,7 @@ class LlmPlanSpec extends AnyFunSuite with SparkSpec {
       val semiJoin = joins.head
       val probeBelow = semiJoin.collectFirst {
         case f: org.apache.spark.sql.execution.FilterExec
-            if f.condition.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]).isDefined => f
+            if f.condition.find(_.isInstanceOf[graft.plans.BloomMightContain]).isDefined => f
       }
       assert(probeBelow.isDefined,
         "the mightContain probe must filter grams BEFORE the confirm join")
