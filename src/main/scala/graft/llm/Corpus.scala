@@ -132,11 +132,15 @@ object Corpus {
       // capped so the last chunk still STARTS inside the document — with
       // stride > chunkSize (gapped sampling) the uncapped count would
       // emit a zero-length phantom chunk whose md5("") hash collides
-      // across the whole corpus. Pure integer `div`, oracle-identical.
+      // across the whole corpus. Pure integer `div`, oracle-identical;
+      // the greatest(…, 0) clamp on the cap keeps the formula tokenizer-
+      // independent (Spark's `div` truncates toward zero while DuckDB's
+      // `//` floors, so an unclamped `-1 div stride` would diverge if a
+      // future tokenizer ever yielded an empty array).
       .withColumn("__nc",
         least(
           expr(s"(greatest(size(__t) - $chunkSize, 0) + ${stride - 1}) div $stride"),
-          expr(s"(size(__t) - 1) div $stride")))
+          expr(s"greatest(size(__t) - 1, 0) div $stride")))
       .withColumn("chunk_idx", explode(sequence(lit(0L), col("__nc").cast("long"))))
       .withColumn("chunk_start", col("chunk_idx") * lit(stride.toLong))
       .withColumn("__ct",
@@ -145,6 +149,46 @@ object Corpus {
         size(col("__ct")).cast("long").as("chunk_len"),
         array_join(col("__ct"), " ").as("chunk_text"),
         md5(array_join(col("__ct"), " ")).as("chunk_hash"))
+  }
+
+  /** RAG-prep composition — chunk, then exact-dedup the chunks: the
+    * deduplicated chunk corpus, one row per DISTINCT chunk content with
+    * its canonical owner and corpus-wide copy count. This is
+    * [[chunkTokens]] feeding an exact dedup on `chunk_hash` (the md5
+    * emitted precisely as this downstream key) with a back-reference to
+    * the owning document's metadata — all ONE lazy plan.
+    *
+    * Canonical owner = the lexicographically smallest
+    * (id, chunk_idx) holding the content, picked via `min(struct(...))`
+    * inside a hash aggregate rather than a window over `chunk_hash`:
+    * partial (map-side) aggregation absorbs hot hashes, so a boilerplate
+    * chunk with millions of copies costs merged partials, not one
+    * straggler task sorting the whole hash's partition. The shuffle key
+    * is the 32-char md5 — O(chunks), never chunk text times copies.
+    *
+    * Output: (chunk_hash, idCol, chunk_idx, chunk_start, chunk_len,
+    * chunk_text, n_copies, keepCols…); `keepCols` are joined back from
+    * `docs` via an equi-join on the canonical id (broadcastable when the
+    * metadata projection is small).
+    */
+  def chunkDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int, keepCols: Seq[String] = Nil): DataFrame = {
+    val chunks = chunkTokens(docs, idCol, textCol, chunkSize, stride)
+    val canon = chunks
+      .groupBy(col("chunk_hash"))
+      .agg(
+        min(struct(col(idCol), col("chunk_idx"), col("chunk_start"),
+          col("chunk_len"), col("chunk_text"))).as("__c"),
+        count(lit(1)).as("n_copies"))
+      .select(col("chunk_hash"), col(s"__c.$idCol").as(idCol),
+        col("__c.chunk_idx").as("chunk_idx"),
+        col("__c.chunk_start").as("chunk_start"),
+        col("__c.chunk_len").as("chunk_len"),
+        col("__c.chunk_text").as("chunk_text"),
+        col("n_copies"))
+    if (keepCols.isEmpty) canon
+    else canon.join(docs.select(col(idCol) +: keepCols.map(col): _*), Seq(idCol))
   }
 
   /** Per-document cross-corpus duplicated-span profile: of a document's

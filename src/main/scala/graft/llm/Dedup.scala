@@ -67,6 +67,10 @@ object Dedup {
     * the difference between linear and quadratic work (measured: 496s ->
     * seconds at sf0.1 for the char-gram variant). Standard practice in
     * production LSH dedup, and the oracle applies the same HAVING guard.
+    *
+    * EAGER: runs a Spark job and returns a persisted handle (see the
+    * caching contract above) — downstream filters do NOT push into the
+    * pair computation; `unpersist()` the result when done.
     */
   def minhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -167,6 +171,9 @@ object Dedup {
     * hit by more than `maxBucketSize` docs carry no near-dup signal and
     * are dropped before the join (the oracle applies the same HAVING
     * guard). Persists the banded frame — see the caching contract above.
+    *
+    * EAGER: runs a Spark job and returns a persisted handle;
+    * `unpersist()` the result when done.
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -298,6 +305,9 @@ object Dedup {
   /** Character-n-gram Jaccard near-dup pairs: same banded-LSH candidate
     * generation, but over character 4-grams — robust to token-boundary
     * edits where word shingles are brittle.
+    *
+    * EAGER: runs a Spark job and returns a persisted handle;
+    * `unpersist()` the result when done.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,

@@ -397,13 +397,41 @@ object LlmQueries {
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |n AS (SELECT doc_id, w,
              |   least((greatest(len(w) - 32, 0) + 23) // 24,
-             |         (len(w) - 1) // 24) AS nc FROM t),
+             |         greatest(len(w) - 1, 0) // 24) AS nc FROM t),
              |c AS (SELECT doc_id, w, unnest(range(0, nc + 1)) AS chunk_idx FROM n)
              |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
              | CAST(chunk_idx * 24 AS BIGINT) AS chunk_start,
              | CAST(len(w[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS BIGINT) AS chunk_len,
              | md5(array_to_string(w[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')) AS chunk_hash
              |FROM c""".stripMargin)),
+
+    // Chunk-level dedup composition (the RAG-prep path): chunkTokens →
+    // exact dedup on chunk_hash → back-reference to the canonical
+    // document's metadata, chained as ONE lazy plan. Canonical owner is
+    // picked by min(struct) inside the hash aggregate (map-side partials
+    // absorb hot boilerplate hashes — no per-hash window sort).
+    QueryDef("llm_chunk_dedup",
+      (s, dir) => Corpus.chunkDedup(
+          QueryDef.table(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 32, stride = 24, keepCols = Seq("lang"))
+        .select(col("chunk_hash"), col("doc_id"), col("chunk_idx"),
+          col("chunk_start"), col("chunk_len"), col("n_copies"), col("lang")),
+      Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+             |n AS (SELECT doc_id, lang, w,
+             |   least((greatest(len(w) - 32, 0) + 23) // 24,
+             |         greatest(len(w) - 1, 0) // 24) AS nc FROM t),
+             |c AS (SELECT doc_id, lang, w, unnest(range(0, nc + 1)) AS chunk_idx FROM n),
+             |ch AS (SELECT doc_id, lang, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             |   CAST(chunk_idx * 24 AS BIGINT) AS chunk_start,
+             |   CAST(len(w[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS BIGINT) AS chunk_len,
+             |   md5(array_to_string(w[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')) AS chunk_hash
+             |   FROM c),
+             |r AS (SELECT *,
+             |   row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) AS rn,
+             |   count(*) OVER (PARTITION BY chunk_hash) AS n_copies FROM ch)
+             |SELECT chunk_hash, doc_id, chunk_idx, chunk_start, chunk_len,
+             | CAST(n_copies AS BIGINT) AS n_copies, lang
+             |FROM r WHERE rn = 1""".stripMargin)),
 
     // Vocabulary building: top-5 most frequent tokens per language
     // (count by (lang, token) -> per-lang rank window). Ties broken

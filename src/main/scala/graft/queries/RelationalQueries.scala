@@ -478,18 +478,36 @@ object RelationalQueries {
              | round(quantile_cont(l_extendedprice, 0.99) + 0.000001, 4) AS p99_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
-    // Approximate aggregation (HLL++ distinct sketch + quantile sketch).
-    // Rows-only gate: sketch estimates are engine-specific by nature, so
-    // the check is structural (non-empty, right shape) — the exact twins
-    // are q11 (count distinct) and q25 (percentiles).
+    // Approximate aggregation (HLL++ distinct sketch + quantile sketch)
+    // as a BOUNDS-CHECK gate: sketch estimates are engine-specific, so
+    // the raw estimates can't hash-match a DuckDB oracle — instead the
+    // engine emits, per group, the EXACT statistic plus a boolean
+    // "within ε of the sketch estimate" flag, and the oracle emits the
+    // exact statistic plus literal TRUE. A sketch straying outside its
+    // published error envelope flips a flag and fails the hash compare.
+    // ε = 5% ≈ 2.5σ of the requested HLL rsd (2%); approx_percentile at
+    // accuracy 1000 has rank error ≤ n/1000, far inside 5% of p50 on
+    // this data. Both sketches are deterministic for fixed input, so the
+    // gate is stable, and it stays a real guard: swap the sketch for a
+    // broken one and the flags flip. Exact twins remain q11/q25.
     QueryDef("q26_approx",
       (s, dir) => table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          round(element_at(expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)"), 1), 2)
-            .as("approx_p50_price")),
-      None),
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("__hll"),
+          expr("percentile(l_extendedprice, 0.5)").as("__p50"),
+          expr("element_at(approx_percentile(l_extendedprice, array(0.5, 0.99), 1000), 1)")
+            .as("__ap50"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("__hll") - col("exact_orders")) <=
+            col("exact_orders") * lit(0.05)).as("hll_within_eps"),
+          (abs(col("__ap50") - col("__p50")) <=
+            abs(col("__p50")) * lit(0.05)).as("pctl_within_eps")),
+      Some("""SELECT l_returnflag,
+             | count(DISTINCT l_orderkey) AS exact_orders,
+             | TRUE AS hll_within_eps, TRUE AS pctl_within_eps
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // A8 completion: cube over two dimensions with grouping_id
     // disambiguating the NULL group labels.

@@ -53,11 +53,18 @@ object StreamingQueries {
     * 7 days): rows of batch n+1 are then never below the watermark set by
     * batch n, and a duplicate/join partner one batch behind still finds
     * its state — while chunks further back DO age out, which is the
-    * eviction path being exercised.
+    * eviction path being exercised. The nominal span/chunks math assumes
+    * approxQuantile slices near-evenly; a skewed ts distribution could
+    * stretch one chunk past the delay and silently re-admit rows past
+    * evicted state, so the REALIZED spans (actual data min/max against
+    * the quantile bounds) are asserted against `watermarkDelaySec`
+    * at staging time — fail loudly here, not as a baffling gate
+    * mismatch downstream.
     */
   private[graft] def stageOrderedSource(
       s: SparkSession, sfDir: String, name: String,
-      copies: Int, chunks: Int = 6): String = synchronized {
+      copies: Int, chunks: Int = 6,
+      watermarkDelaySec: Long = 7L * 86400): String = synchronized {
     val sf = Paths.get(sfDir).getFileName.toString
     val dst = s"/root/repo/target/stream_src/$sf-$name-ordered"
     val marker = s"$dst/_STAGED_${copies}x$chunks"
@@ -73,6 +80,15 @@ object StreamingQueries {
         .stat.approxQuantile("t", qs, 0.001)
       val lo = Double.NegativeInfinity +: bounds
       val hi = bounds :+ Double.PositiveInfinity
+      // realized spans vs the consumers' watermark delay (see scaladoc):
+      // replace the open first/last endpoints with the data's actual
+      // extent, then require every chunk to fit inside the delay
+      val ext = ev.agg(min(col("ts").cast("double")), max(col("ts").cast("double"))).head()
+      val spans = (0 until chunks).map(i =>
+        math.min(hi(i), ext.getDouble(1)) - math.max(lo(i), ext.getDouble(0)))
+      require(spans.max < watermarkDelaySec,
+        s"realized chunk span ${spans.max}s >= watermark delay ${watermarkDelaySec}s — " +
+          s"skewed ts distribution; raise `chunks` or the consumers' delay (spans: $spans)")
       val base = System.currentTimeMillis() - chunks * copies * 2000L
       // a silently-failed mtime write would scramble the replay order and
       // surface as a baffling late-data gate mismatch — fail HERE instead

@@ -505,6 +505,30 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(gapped.count(_._1 == 1L) == 1)
   }
 
+  test("chunk dedup collapses repeated chunk content to its canonical owner") {
+    val body = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (7L, body, "en"),          // duplicate content, larger id
+      (3L, body, "de"),          // canonical owner (min doc_id)
+      (9L, "x y z", "fr")        // unique single-chunk doc
+    ).toDF("doc_id", "text", "lang")
+    val out = Corpus.chunkDedup(docs, "doc_id", "text",
+        chunkSize = 4, stride = 3, keepCols = Seq("lang"))
+      .collect()
+      .map(r => (r.getAs[String]("chunk_hash"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_copies"), r.getAs[String]("lang")))
+    // docs 3 and 7 produce 3 identical chunks each -> 3 distinct hashes,
+    // all owned by doc 3 with 2 copies; doc 9 owns its single chunk
+    assert(out.length == 4, s"expected 4 distinct chunks: ${out.toSeq}")
+    assert(out.count { case (_, id, n, lang) => id == 3L && n == 2L && lang == "de" } == 3)
+    assert(out.count { case (_, id, n, lang) => id == 9L && n == 1L && lang == "fr" } == 1)
+    // one lazy plan: the composition must not materialize eagerly, so the
+    // analyzed tree still shows the full chunk -> dedup -> join chain
+    val analyzed = Corpus.chunkDedup(docs, "doc_id", "text", 4, 3, Seq("lang"))
+      .queryExecution.analyzed.toString
+    assert(analyzed.contains("Aggregate") && analyzed.contains("Join"), analyzed)
+  }
+
   test("hash split is exclusive, exhaustive, and near the requested weights") {
     val docs = spark.range(0, 2000).toDF("doc_id")
     val out = Sampling.split(docs, "doc_id",
