@@ -235,6 +235,9 @@ object Embeddings {
     * census + both join sides); the materialized result is the one cached
     * handle returned — same scoped caching contract as
     * [[graft.llm.Dedup]]: `unpersist()` the returned frame when done.
+    *
+    * EAGER: runs a Spark job and returns a persisted handle —
+    * downstream filters do NOT push into the pair computation.
     */
   def lshCosinePairs(
       emb: DataFrame, idCol: String, vecCol: String, dim: Int,

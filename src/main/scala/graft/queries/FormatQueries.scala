@@ -101,6 +101,44 @@ object FormatQueries {
       Some(s"""SELECT o_orderstatus, count(*) AS n,
               | round(sum(o_totalprice), 2) AS total
               |FROM read_parquet('$OracleRoot/orders_orc_twin/*.parquet')
-              |GROUP BY o_orderstatus""".stripMargin))
+              |GROUP BY o_orderstatus""".stripMargin)),
+
+    // Bucketed tables — the co-located-join lever: both fact tables are
+    // written bucketBy(8, <orderkey>) sortBy(<orderkey>) as external
+    // tables, so every later equi-join on the key plans with ZERO
+    // shuffle exchanges below the join (bucketing IS the exchange, paid
+    // once at write; FormatSpec pins the exchange-free plan). At 100 TB
+    // this converts the nightly fact-to-fact join from a full two-sided
+    // shuffle into a local per-bucket merge. The oracle re-reads the
+    // bucketed files, proving the bucketed write round-trips values.
+    QueryDef("fmt_bucketed_join",
+      (s, dir) => {
+        val r = checkedRoot(dir)
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_fmt")
+        QueryDef.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$r/orders_bucketed")
+          .saveAsTable("graft_fmt.orders_bucketed")
+        QueryDef.table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$r/lineitem_bucketed")
+          .saveAsTable("graft_fmt.lineitem_bucketed")
+        s.table("graft_fmt.orders_bucketed")
+          .join(s.table("graft_fmt.lineitem_bucketed"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n_items,
+              | round(sum(l_extendedprice), 2) AS revenue
+              |FROM read_parquet('$OracleRoot/orders_bucketed/*.parquet') o
+              |JOIN read_parquet('$OracleRoot/lineitem_bucketed/*.parquet') l
+              | ON o.o_orderkey = l.l_orderkey
+              |GROUP BY o_orderpriority""".stripMargin))
   )
 }

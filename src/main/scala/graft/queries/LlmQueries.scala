@@ -760,6 +760,41 @@ object LlmQueries {
            |FROM p WHERE sim >= 0.2""".stripMargin
       }),
 
+    // Semantic (embedding-space) dedup decision, SemDeDup-shaped:
+    // LSH-bucketed cosine pairs → connected components → keep the
+    // cluster representative (vec_id == cluster_id). The embedding twin
+    // of llm_dedup_clusters: same pointer-jumping CC, fed by vector
+    // pairs instead of MinHash pairs — near-dup IMAGES/PARAPHRASES that
+    // share no n-gram collapse here. The oracle replays pairs + a
+    // recursive min-label closure.
+    QueryDef("llm_emb_dedup",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        Dedup.nearDupClusters(emb, "vec_id",
+            Embeddings.lshCosinePairs(emb, "vec_id", "embedding", dim = 64))
+          .select(col("vec_id"), col("cluster_id"),
+            (col("vec_id") === col("cluster_id")).as("is_kept"))
+      },
+      Some {
+        val bucket = projBucketSql("embedding", 64, 12, 0, prefixed = false)
+        s"""WITH RECURSIVE b0 AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+           |b AS (SELECT * FROM b0 WHERE bucket IN
+           |  (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= 64)),
+           |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           |   ${cosSql("a.embedding", "b2.embedding")} AS sim
+           |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+           |pr AS (SELECT id_a, id_b FROM p WHERE sim >= 0.2),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM pr
+           |  UNION ALL SELECT id_b, id_a FROM pr),
+           |r AS (SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+           |  UNION SELECT e.dst AS id, r.lbl FROM r JOIN e ON e.src = r.id),
+           |cl AS (SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id)
+           |SELECT CAST(id AS BIGINT) AS vec_id,
+           | CAST(cluster_id AS BIGINT) AS cluster_id,
+           | (id = cluster_id) AS is_kept
+           |FROM cl""".stripMargin
+      }),
+
     // ANN recall gate: recall@3 of the LSH probe against the brute-force
     // ground truth, per query — the IVF/LSH quality trade as a measured,
     // oracle-checked number instead of prose. Deterministic data ⇒
