@@ -41,6 +41,32 @@ object TextFunctions {
       sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
       i => substr(text, i, lit(n)))
 
+  /** PII scrubbing patterns — the anonymization pass every
+    * training-data pipeline runs before release. Deliberately the
+    * RE2-compatible regex subset (no lookaround, no backreferences,
+    * ASCII classes and `\b` only) so Spark's Java regex engine and the
+    * DuckDB oracle's RE2 accept the IDENTICAL pattern strings with
+    * identical semantics; both engines replace globally (DuckDB needs
+    * the explicit 'g' flag — the oracle SQL carries it).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Replace emails, then phone numbers, then IPv4 addresses with typed
+    * placeholder tokens. Order is fixed and replacement tokens contain
+    * no digits or dots, so later patterns can never match inside an
+    * earlier replacement. Pure codegen'd `regexp_replace` chain: per-row
+    * work, no shuffle, linear in text length (all three patterns are
+    * backtracking-free in practice: character-class quantifiers only).
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
   /** One MinHash value: the minimum over shingles of md5(salt || shingle).
     * k salted copies form the classic MinHash signature (string form; the
     * banding path below uses the cheaper universal-hash form).

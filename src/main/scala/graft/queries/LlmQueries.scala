@@ -566,6 +566,47 @@ object LlmQueries {
              | CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+'))) AS BIGINT) AS sum_bpe_tokens
              |FROM documents GROUP BY lang, source""".stripMargin)),
 
+    // PII scrubbing (anonymization pass). The synthetic corpus is a
+    // clean word salad, so every 7th document first gets a
+    // deterministic email/phone/IP derived from its id appended — BOTH
+    // engines replay the injection identically, and the gate then
+    // verifies the SCRUB: per-document match counts plus the md5 of the
+    // scrubbed text (pins that exactly the PII was replaced, nothing
+    // else). Patterns are the RE2-compatible subset shared verbatim
+    // with the oracle; DuckDB's regexp_replace needs the 'g' flag to
+    // match Spark's replace-all.
+    QueryDef("llm_pii_scrub",
+      (s, dir) => {
+        val t = when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")))
+          .otherwise(col("text"))
+        QueryDef.table(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_count(t, lit(TF.EmailPattern)).cast("long").as("n_emails"),
+            regexp_count(t, lit(TF.PhonePattern)).cast("long").as("n_phones"),
+            regexp_count(t, lit(TF.Ipv4Pattern)).cast("long").as("n_ips"),
+            md5(TF.scrubPii(t)).as("scrubbed_hash"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |  CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+              |    CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+              |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+              |    ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+              |  ELSE text END AS tt FROM documents)
+              |SELECT doc_id,
+              | CAST(len(regexp_extract_all(tt, '${TF.EmailPattern}')) AS BIGINT) AS n_emails,
+              | CAST(len(regexp_extract_all(tt, '${TF.PhonePattern}')) AS BIGINT) AS n_phones,
+              | CAST(len(regexp_extract_all(tt, '${TF.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+              | md5(regexp_replace(regexp_replace(regexp_replace(tt,
+              |   '${TF.EmailPattern}', '<EMAIL>', 'g'),
+              |   '${TF.PhonePattern}', '<PHONE>', 'g'),
+              |   '${TF.Ipv4Pattern}', '<IP>', 'g')) AS scrubbed_hash
+              |FROM t""".stripMargin)),
+
     // Marker-based language ID (deterministic heuristic, argmax + ordered
     // tie-break).
     QueryDef("llm_lang_id",

@@ -505,6 +505,21 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(gapped.count(_._1 == 1L) == 1)
   }
 
+  test("PII scrub replaces emails/phones/IPs with typed tokens, nothing else") {
+    val df = Seq(
+      (1L, "write to alice.smith+spam@mail.example.org today"),
+      (2L, "call +44-207-1234 or visit 192.168.1.254 now"),
+      (3L, "no pii here, just words and 12345 numbers"),
+      (4L, "a@b.io x 10.0.0.1")
+    ).toDF("id", "text")
+    val out = df.select($"id", TextFunctions.scrubPii($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "write to <EMAIL> today")
+    assert(out(2L) == "call <PHONE> or visit <IP> now")
+    assert(out(3L) == "no pii here, just words and 12345 numbers")
+    assert(out(4L) == "<EMAIL> x <IP>")
+  }
+
   test("chunk dedup collapses repeated chunk content to its canonical owner") {
     val body = (1 to 10).map(i => s"t$i").mkString(" ")
     val docs = Seq(
