@@ -272,6 +272,30 @@ object StreamingQueries {
              | round(sum(value), 2) AS value_sum
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // Custom per-key state (flatMapGroupsWithState), gated: running
+    // per-user feature counters over one time-ordered file per
+    // micro-batch (6 batches) emit an updated row per touched user per
+    // batch; since n_events strictly increases within a user, the
+    // max_by row is the final state, and it must equal the batch
+    // GROUP BY — custom cross-batch state, not just the built-in
+    // windowed/dedup/session state the other gates exercise.
+    QueryDef("stream_running_features",
+      (s, dir) => {
+        import s.implicits._
+        val src = stageOrderedSource(s, dir, "runfeat", copies = 1)
+        val ev = EventsStream.readEvents(s, src, maxFilesPerTrigger = Some(1))
+          .as[EventsStream.Event]
+        val res = runBounded(s,
+          EventsStream.runningUserFeatures(ev).toDF(),
+          "graft_stream_runfeat", OutputMode.Update())
+        res.groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"),
+            round(max_by(col("total_value"), col("n_events")), 2).as("total_value"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             | round(sum(value), 2) AS total_value
+             |FROM events GROUP BY user_id""".stripMargin)),
+
     // MULTI-BATCH stream-stream interval join: one time-ordered file per
     // micro-batch; a click near a chunk boundary must survive in join
     // state until its error arrives in the NEXT batch, and old click
