@@ -607,6 +607,54 @@ object LlmQueries {
               |   '${TF.Ipv4Pattern}', '<IP>', 'g')) AS scrubbed_hash
               |FROM t""".stripMargin)),
 
+    // RAG-prep pipeline e2e: contamination-inject (both engines replay
+    // it) → PII scrub → token-window chunking → chunk-level exact
+    // dedup with canonical back-reference — the full document-to-
+    // dedup'd-chunk-corpus path a RAG ingest runs, chained as ONE lazy
+    // plan; the oracle replays every stage.
+    QueryDef("llm_pipeline_rag",
+      (s, dir) => {
+        val t = when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")))
+          .otherwise(col("text"))
+        val scrubbed = QueryDef.table(s, dir, "documents")
+          .select(col("doc_id"), TF.scrubPii(t).as("text"), col("lang"))
+        Corpus.chunkDedup(scrubbed, "doc_id", "text",
+            chunkSize = 32, stride = 24, keepCols = Seq("lang"))
+          .select(col("chunk_hash"), col("doc_id"), col("chunk_idx"),
+            col("chunk_start"), col("chunk_len"), col("n_copies"), col("lang"))
+      },
+      Some(s"""WITH i AS (SELECT doc_id, lang,
+              |  CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+              |    CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+              |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+              |    ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+              |  ELSE text END AS t0 FROM documents),
+              |t AS (SELECT doc_id, lang, string_split(
+              |   regexp_replace(regexp_replace(regexp_replace(t0,
+              |     '${TF.EmailPattern}', '<EMAIL>', 'g'),
+              |     '${TF.PhonePattern}', '<PHONE>', 'g'),
+              |     '${TF.Ipv4Pattern}', '<IP>', 'g'), ' ') AS w FROM i),
+              |n AS (SELECT doc_id, lang, w,
+              |   least((greatest(len(w) - 32, 0) + 23) // 24,
+              |         greatest(len(w) - 1, 0) // 24) AS nc FROM t),
+              |c AS (SELECT doc_id, lang, w, unnest(range(0, nc + 1)) AS chunk_idx FROM n),
+              |ch AS (SELECT doc_id, lang, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+              |   CAST(chunk_idx * 24 AS BIGINT) AS chunk_start,
+              |   CAST(len(w[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS BIGINT) AS chunk_len,
+              |   md5(array_to_string(w[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')) AS chunk_hash
+              |   FROM c),
+              |r AS (SELECT *,
+              |   row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) AS rn,
+              |   count(*) OVER (PARTITION BY chunk_hash) AS n_copies FROM ch)
+              |SELECT chunk_hash, doc_id, chunk_idx, chunk_start, chunk_len,
+              | CAST(n_copies AS BIGINT) AS n_copies, lang
+              |FROM r WHERE rn = 1""".stripMargin)),
+
     // Marker-based language ID (deterministic heuristic, argmax + ordered
     // tie-break).
     QueryDef("llm_lang_id",

@@ -333,6 +333,27 @@ object RelationalQueries {
              | round(sum(l_quantity), 2) AS sum_value
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // Salted JOIN (SkewJoin.saltedJoin, the q21 companion): the skewed
+    // left side is salted, the replicable right side exploded
+    // `salts`× — a known-in-advance hot key spreads over 8 tasks
+    // instead of one straggler. Salt values only ROUTE rows, so the
+    // result is exactly the plain join the oracle runs.
+    QueryDef("q29_salted_join",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+        val ord = table(s, dir, "orders")
+          .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+        graft.operators.SkewJoin.saltedJoin(li, ord, "okey", 8)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_items,
+             | round(sum(l_extendedprice), 2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus""".stripMargin)),
+
     // As-of (point-in-time) join — graft.operators.AsOfJoin's union +
     // carry-forward formulation, checked against DuckDB's NATIVE
     // ASOF LEFT JOIN: for each error event, the latest click at or
