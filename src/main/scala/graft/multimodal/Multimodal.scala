@@ -15,15 +15,19 @@ import org.apache.spark.sql.types._
   * IMAGE payloads are decoded for REAL: JDK `javax.imageio` parses
   * PNG/JPEG/GIF/BMP headers with zero added dependencies, and the
   * `mm_decode_png` gate hash-checks genuine decoded dimensions against
-  * fixture-derived expectations. Two documented stubs remain:
-  *   - AUDIO/VIDEO metadata (this container has no media codecs) —
-  *     [[fakeMeta]] derives deterministic fake fields from the payload's
-  *     sha-256 so the DuckDB oracle can replay them; a production
-  *     deployment swaps in javacv / ffmpeg-over-pipe without touching
-  *     the surrounding plumbing;
-  *   - an image payload ImageIO can't parse (e.g. the text-byte stand-in
-  *     payloads of the aggregate gates) falls back to the same fake,
-  *     keeping malformed inputs non-fatal and oracle-replayable.
+  * fixture-derived expectations. PCM AUDIO is decoded for real too:
+  * JDK `javax.sound.sampled` parses WAV/AIFF/AU headers (sample rate,
+  * frame count → duration; `mm_decode_wav` gate). Remaining documented
+  * stubs:
+  *   - VIDEO and compressed audio (this container has no media
+  *     codecs) — [[fakeMeta]] derives deterministic fake fields from
+  *     the payload's sha-256 so the DuckDB oracle can replay them; a
+  *     production deployment swaps in javacv / ffmpeg-over-pipe
+  *     without touching the surrounding plumbing;
+  *   - a payload the JDK parsers can't read (e.g. the text-byte
+  *     stand-in payloads of the aggregate gates) falls back to the
+  *     same fake, keeping malformed inputs non-fatal and
+  *     oracle-replayable.
   */
 object Multimodal {
 
@@ -80,11 +84,52 @@ object Multimodal {
       .map(img => (img.getWidth, img.getHeight))
     catch { case _: java.io.IOException => None }
 
+  /** Deterministic in-memory 16-bit mono PCM WAV (JDK encoder;
+    * headless-safe) — fixture support for the real audio-decode gate:
+    * sample values are a fixed function of (index, seed), so the same
+    * call always produces byte-identical fixtures.
+    */
+  def wavBytes(nSamples: Int, sampleRate: Int, seed: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = ((i * 131 + seed * 7919) % 65536 - 32768).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real audio header decode: (sample rate, frame count) via JDK
+    * `javax.sound.sampled` (WAV/AIFF/AU — the uncompressed PCM
+    * containers the JDK parses without codecs). None when the bytes
+    * aren't parsable audio or the header doesn't carry a frame count.
+    */
+  private[multimodal] def audioMeta(payload: Array[Byte]): Option[(Int, Long)] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem
+        .getAudioFileFormat(new java.io.ByteArrayInputStream(payload))
+      val rate = aff.getFormat.getSampleRate
+      val frames = aff.getFrameLength.toLong
+      if (rate > 0 && frames >= 0) Some((rate.toInt, frames)) else None
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
   /** Batched decode: one task per partition streams its rows through the
     * decoder — the exact execution shape a Pandas-UDF `mapInPandas`
-    * decode stage has, minus the Arrow/IPC hop. Images decode for real
-    * ([[imageMeta]]); audio/video and unparsable images take the
-    * documented [[fakeMeta]] stub.
+    * decode stage has, minus the Arrow/IPC hop. Images ([[imageMeta]])
+    * and PCM audio ([[audioMeta]]: width/height 0, n_frames = audio
+    * frames, duration = frames/rate) decode for real; video and
+    * unparsable payloads take the documented [[fakeMeta]] stub.
     */
   def decode(assets: DataFrame): DataFrame = {
     implicit val enc = Encoders.row(decodedSchema)
@@ -94,11 +139,13 @@ object Multimodal {
         rows.map { r =>
           val kind = r.getString(1)
           val payload = r.getAs[Array[Byte]](2)
-          val (w, h, f, d) =
-            (if (kind == "image") imageMeta(payload) else None) match {
-              case Some((iw, ih)) => (iw, ih, 1, 1 / 24.0)
-              case None           => fakeMeta(kind, payload)
-            }
+          val real: Option[(Int, Int, Int, Double)] = kind match {
+            case "image" => imageMeta(payload).map { case (iw, ih) => (iw, ih, 1, 1 / 24.0) }
+            case "audio" => audioMeta(payload).map { case (rate, fr) =>
+              (0, 0, fr.toInt, fr.toDouble / rate) }
+            case _ => None
+          }
+          val (w, h, f, d) = real.getOrElse(fakeMeta(kind, payload))
           Row(r.getLong(0), kind, payload.length.toLong, w, h, f, d)
         }
       }.toDF()

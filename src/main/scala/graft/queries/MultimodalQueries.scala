@@ -73,6 +73,28 @@ object MultimodalQueries {
              | CAST(1 AS INT) AS n_frames
              |FROM range(0, 48) t(i)""".stripMargin)),
 
+    // REAL audio decode: deterministic fixture WAVs (frame counts from
+    // a fixed formula, 8 kHz PCM) flow through the same batched decode
+    // stage; javax.sound.sampled must recover the genuine frame count
+    // and duration, and the oracle recomputes both from the formula —
+    // a regression to the stub mismatches every row.
+    QueryDef("mm_decode_wav",
+      (s, dir) => {
+        import scala.jdk.CollectionConverters._
+        val n = 48
+        val rows: java.util.List[org.apache.spark.sql.Row] = (0 until n).map { i =>
+          val samples = 800 + (i * 37) % 1600
+          org.apache.spark.sql.Row(i.toLong, "audio", Multimodal.wavBytes(samples, 8000, i))
+        }.asJava
+        Multimodal.decode(s.createDataFrame(rows, Multimodal.assetSchema))
+          .select(col("asset_id"), col("n_frames"),
+            round(col("duration_s") + lit(1e-6), 6).as("duration_s"))
+      },
+      Some("""SELECT CAST(i AS BIGINT) AS asset_id,
+             | CAST(800 + (i * 37) % 1600 AS INT) AS n_frames,
+             | round((800 + (i * 37) % 1600) / 8000.0 + 0.000001, 6) AS duration_s
+             |FROM range(0, 48) t(i)""".stripMargin)),
+
     // Frame sampling: every 24th frame index per video asset — the
     // explode-shaped pre-processing stage of a frame-level pipeline.
     QueryDef("mm_frames",

@@ -52,6 +52,20 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out(12L)._1 >= 160, "audio payloads never go through the image decoder")
   }
 
+  test("decode parses real WAV frame counts via javax.sound.sampled") {
+    val real = Seq(
+      (20L, "audio", Multimodal.wavBytes(nSamples = 1234, sampleRate = 8000, seed = 1)),
+      (21L, "audio", "not a wav at all".getBytes("UTF-8")), // fake fallback
+      (22L, "video", Multimodal.wavBytes(nSamples = 1234, sampleRate = 8000, seed = 1)) // kind gates decode
+    ).toDF("asset_id", "kind", "payload")
+    val out = Multimodal.decode(real).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4), r.getInt(5), r.getDouble(6)))).toMap
+    assert(out(20L) == ((0, 0, 1234, 1234 / 8000.0)),
+      s"WAV frames/duration must be decoded for real: ${out(20L)}")
+    assert(out(21L)._1 >= 160, "unparsable audio falls back to the deterministic fake")
+    assert(out(22L)._1 >= 160, "video payloads never go through the audio decoder")
+  }
+
   test("fake embedding has fixed dim and is deterministic") {
     val a = Multimodal.fakeEmbedding(assets, dim = 16).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
