@@ -15,8 +15,18 @@ object Embeddings {
   /** Cast to double once; all arithmetic happens in f64. */
   private def d(a: Column): Column = transform(a, x => x.cast("double"))
 
+  /** Routes through the codegen'd one-loop kernel
+    * ([[graft.plans.DotProduct]], same left-to-right IEEE fold — bit-
+    * identical result, oracle splices unchanged) when GraftExtensions
+    * is registered (GraftSession always registers); the HOF chain is
+    * the fallback for plain sessions.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(graft.plans.GraftExtensions.registered))
+      call_function("graft_dot", a, b)
+    else
+      aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -110,8 +120,7 @@ object Embeddings {
       seed: Long = DefaultSeed): Column =
     concat((0 until bits).map { b =>
       val w = array(planeWeights(seed, table, b, dim).map(x => lit(x.toDouble)): _*)
-      when(aggregate(zip_with(d(vec), w, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0"))
+      when(dot(vec, w) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
   /** [[projBucket]] namespaced per table ("t:bits") so multi-table

@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSig)
     ext.injectFunction(GraftExtensions.simhash)
     ext.injectFunction(GraftExtensions.bloomMightContain)
+    ext.injectFunction(GraftExtensions.dot)
   }
 }
 
@@ -60,6 +61,15 @@ object GraftExtensions {
           s"sketch_bytes must be a binary literal, got $other")
       }
       BloomMightContain(args.head, bytes)
+    }
+  )
+
+  val dot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "graft_dot(a, b)")
+      DotProduct(args(0), args(1))
     }
   )
 
