@@ -1,0 +1,52 @@
+package graft.tools
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+
+/** CPU-bound microbenchmarks over cached in-memory data — the timing
+  * harness for kernel-vs-HOF claims that must not be polluted by the
+  * sandbox's erratic storage (the macro bench reads parquet; this
+  * reads cached blocks only). Prints one JSON line per case.
+  */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build(8, "graft-microbench")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // 200k random 64-dim float vectors, cached and materialized
+    val dim = 64
+    val df = spark.range(0, 200000).select(col("id"),
+        transform(sequence(lit(1), lit(dim)),
+          i => (pmod(hash(col("id") * lit(1000) + i), lit(2000)) / lit(1000.0) - lit(1.0))
+            .cast("float")).as("a"),
+        transform(sequence(lit(1), lit(dim)),
+          i => (pmod(hash(col("id") * lit(7777) + i), lit(2000)) / lit(1000.0) - lit(1.0))
+            .cast("float")).as("b"))
+      .persist()
+    df.count()
+
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(
+        transform(a, x => x.cast("double")), transform(b, x => x.cast("double")),
+        (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+    def time(label: String)(mk: => org.apache.spark.sql.DataFrame): Double = {
+      mk.count() // warm: codegen + JIT
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = runs.min
+      println(f"""{"case":"$label","best_s":$best%.3f,"runs":[${runs.map(r => f"$r%.3f").mkString(",")}]}""")
+      best
+    }
+
+    val hof = time("dot_hof")(df.select(hofDot(col("a"), col("b")).as("d")).filter(col("d") > 1e9))
+    val nat = time("dot_native")(
+      df.select(call_function("graft_dot", col("a"), col("b")).as("d")).filter(col("d") > 1e9))
+    println(f"""{"case":"dot_speedup","x":${hof / nat}%.2f}""")
+    spark.stop()
+  }
+}
