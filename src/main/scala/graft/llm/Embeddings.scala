@@ -32,6 +32,17 @@ object Embeddings {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine with both norms precomputed: the per-PAIR work inside a
+    * candidate join drops from three dot products to one — the norms
+    * are hoisted to once per VECTOR before the join (each corpus row
+    * would otherwise recompute its norm for every query candidate).
+    * Bit-identical to [[cosine]]: sqrt/divide run the same IEEE ops on
+    * the same inputs wherever they're computed, so the oracle's
+    * per-pair formulation hash-matches.
+    */
+  private def cosineHoisted(a: Column, b: Column, an: Column, bn: Column): Column =
+    dot(a, b) / (an * bn)
+
   /** Exact brute-force top-k cosine neighbors for a (small) query set,
     * the ANN baseline. Scale shape: queries are BROADCAST against the
     * corpus scan (no shuffle of the corpus), each task keeps a bounded
@@ -42,11 +53,13 @@ object Embeddings {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
     val scored = corpus
+      .withColumn("__cn", norm(col(vecCol)))
       .join(broadcast(q), col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col("__qv"), col(vecCol)).as("sim"))
+        cosineHoisted(col("__qv"), col(vecCol), col("__qn"), col("__cn")).as("sim"))
 
     // Per-partition bounded top-k (heap), before any shuffle.
     val schema = StructType(Seq(
@@ -142,15 +155,17 @@ object Embeddings {
       idCol: String, vecCol: String, dim: Int, bits: Int, k: Int,
       seed: Long = DefaultSeed): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"),
       projBucket(col(vecCol), dim, bits, 0, seed).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"),
       projBucket(col(vecCol), dim, bits, 0, seed).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("sim"))
+        cosineHoisted(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
@@ -175,15 +190,17 @@ object Embeddings {
       when(substring(b0, i, 1) === "1", lit("0")).otherwise(lit("1")),
       substring(b0, i + 1, bits - i))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"),
       explode(array(b0 +: (1 to bits).map(flip): _*)).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"),
       projBucket(col(vecCol), dim, bits, 0, seed).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("sim"))
+        cosineHoisted(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
@@ -205,19 +222,20 @@ object Embeddings {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, dim: Int, bits: Int, tables: Int, k: Int,
       seed: Long = DefaultSeed): DataFrame = {
-    def withBuckets(df: DataFrame, id: String, v: String): DataFrame =
+    def withBuckets(df: DataFrame, id: String, v: String, n: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(v),
+        norm(col(vecCol)).as(n),
         explode(array((0 until tables)
           .map(t => projBucketPrefixed(col(vecCol), dim, bits, t, seed)): _*)).as("bucket"))
-    val q = withBuckets(queries, "query_id", "__qv")
-    val c = withBuckets(corpus, "neighbor_id", "__cv")
+    val q = withBuckets(queries, "query_id", "__qv", "__qn")
+    val c = withBuckets(corpus, "neighbor_id", "__cv", "__cn")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("sim"))
+        cosineHoisted(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
@@ -253,6 +271,7 @@ object Embeddings {
       bits: Int = 12, minCosine: Double = 0.2,
       maxBucketSize: Int = 64, seed: Long = DefaultSeed): DataFrame = {
     val b0 = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("n"),
       projBucket(col(vecCol), dim, bits, 0, seed).as("bucket"))
       .persist()
     val keep = b0.groupBy(col("bucket"))
@@ -264,7 +283,7 @@ object Embeddings {
       b.as("a")
         .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          cosine(col("a.v"), col("b.v")).as("sim"))
+          cosineHoisted(col("a.v"), col("b.v"), col("a.n"), col("b.n")).as("sim"))
         .filter(col("sim") >= lit(minCosine)),
       b0)
   }
