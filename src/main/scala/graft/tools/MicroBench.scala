@@ -47,6 +47,23 @@ object MicroBench {
     val nat = time("dot_native")(
       df.select(call_function("graft_dot", col("a"), col("b")).as("d")).filter(col("d") > 1e9))
     println(f"""{"case":"dot_speedup","x":${hof / nat}%.2f}""")
+
+    // Bloom probe: Scala UDF vs the codegen'd expression, same sketch,
+    // 2M cached strings (~1% hit rate)
+    val strs = spark.range(0, 2000000)
+      .select(col("id"), concat(lit("gram number "), col("id")).as("g"))
+      .persist()
+    strs.count()
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(20000L, 0.01)
+    (0 until 2000000 by 100).foreach(i => bloom.putString(s"gram number $i"))
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos); bos.toByteArray
+    }
+    val probeUdf = udf((g: String) => g != null && bloom.mightContainString(g))
+    val u = time("bloom_udf")(strs.filter(probeUdf(col("g"))))
+    val e = time("bloom_native")(
+      strs.filter(call_function("graft_bloom_might_contain", col("g"), lit(bytes))))
+    println(f"""{"case":"bloom_speedup","x":${u / e}%.2f}""")
     spark.stop()
   }
 }
