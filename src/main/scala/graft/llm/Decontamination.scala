@@ -54,11 +54,22 @@ object Decontamination {
       bloom.writeTo(bos)
       bos.toByteArray
     }
+    // Codegen'd native probe when the engine's functions are registered
+    // (GraftSession always registers); a plain session falls back to a
+    // Scala-UDF probe of the same sketch — identical semantics
+    // (null → dropped under filter), mirrors Embeddings.dot's fallback.
+    val probe =
+      if (graft.plans.GraftExtensions.registered(corpus.sparkSession))
+        call_function("graft_bloom_might_contain", col("g"), lit(bytes))
+      else {
+        val sketch = bloom
+        udf((g: String) => g != null && sketch.mightContainString(g)).apply(col("g"))
+      }
     Dedup.scoped(
       corpus
         .select((col(idCol) +: keepCols.map(col)) :+ explode(
           TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), n)).as("g"): _*)
-        .filter(call_function("graft_bloom_might_contain", col("g"), lit(bytes)))
+        .filter(probe)
         .join(evalGrams, Seq("g"), "left_semi")
         .select(col(idCol) +: keepCols.map(col): _*)
         .distinct(),

@@ -26,15 +26,28 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * Scale shape: the serialized sketch is a plan constant, and Spark
   * ships each stage's task binary via torrent broadcast ONCE per
-  * executor — so a multi-MB sketch costs one broadcast, not
-  * per-task shipping. The filter is deserialized lazily once per JVM
-  * (transient lazy val) and probed lock-free (reads only).
+  * executor — so a multi-MB sketch costs one broadcast, not per-task
+  * shipping. Each task deserializes its own reference object, so the
+  * `BloomFilter.readFrom` cost is amortized by an executor-side cache
+  * keyed on the sketch digest ([[BloomMightContain.cachedFilter]]) —
+  * one deserialization per sketch per JVM, probed lock-free after.
   */
 case class BloomMightContain(child: Expression, sketchBytes: Array[Byte])
     extends UnaryExpression with Predicate {
 
   require(sketchBytes != null && sketchBytes.nonEmpty,
     "graft_bloom_might_contain needs a non-empty serialized sketch")
+
+  // Array[Byte] compares by reference; content-based equality keeps
+  // semanticEquals/canonicalization (cache + exchange reuse) working
+  // for otherwise-identical probes rebuilt from the same sketch.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      b.child == child && java.util.Arrays.equals(b.sketchBytes, sketchBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(sketchBytes)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -44,7 +57,8 @@ case class BloomMightContain(child: Expression, sketchBytes: Array[Byte])
 
   override def prettyName: String = "graft_bloom_might_contain"
 
-  @transient private lazy val bloom: BloomFilter = BloomFilter.readFrom(sketchBytes)
+  @transient private lazy val bloom: BloomFilter =
+    BloomMightContain.cachedFilter(sketchBytes)
 
   /** Public for the generated code's reference-object call. */
   def probe(utf8Bytes: Array[Byte]): Boolean = bloom.mightContainBinary(utf8Bytes)
@@ -59,4 +73,23 @@ case class BloomMightContain(child: Expression, sketchBytes: Array[Byte])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object BloomMightContain {
+
+  /** JVM-wide filter cache keyed on the sketch's SHA-256: every task's
+    * reference object shares one deserialized `BloomFilter` per distinct
+    * sketch instead of paying `readFrom` on a multi-MB payload per task.
+    * Hashing the bytes is ~GB/s; `readFrom` copies and re-allocates the
+    * whole bit array. Distinct sketches per JVM are few (one per
+    * decontamination run), so the map stays tiny.
+    */
+  private val filters =
+    new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
+
+  private[plans] def cachedFilter(bytes: Array[Byte]): BloomFilter = {
+    val digest = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-256").digest(bytes))
+    filters.computeIfAbsent(digest, _ => BloomFilter.readFrom(bytes))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types._
 
 /** Native Catalyst expression: double-precision dot product of two
   * numeric arrays in ONE tight loop.
@@ -25,18 +25,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  /** Any fixed-width numeric element type is accepted and widened to
+    * double inside the loop — the exact semantics the HOF chain gets
+    * from its up-front `cast("double")`, without materializing a cast
+    * array per row. (The HOF fallback path accepts the same set, so
+    * callers behave identically whether or not GraftExtensions is
+    * registered.)
+    */
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+    case (ArrayType(l, _), ArrayType(r, _))
+        if DotProduct.widens(l) && DotProduct.widens(r) =>
       TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"graft_dot needs two array<float|double> args, got ${l.simpleString} / ${r.simpleString}")
+      s"graft_dot needs two arrays of a numeric element type, got ${l.simpleString} / ${r.simpleString}")
   }
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
-  private def isFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
 
   override def nullable: Boolean = true
 
@@ -45,15 +53,13 @@ case class DotProduct(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
-    val xf = isFloat(left)
-    val yf = isFloat(right)
+    val xt = elemType(left)
+    val yt = elemType(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      acc += DotProduct.asDouble(x, i, xt) * DotProduct.asDouble(y, i, yt)
       i += 1
     }
     acc
@@ -64,8 +70,8 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
-      val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
-      val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      val getX = DotProduct.genGet(a, i, elemType(left))
+      val getY = DotProduct.genGet(b, i, elemType(right))
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -84,4 +90,30 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+
+  private[plans] def widens(t: DataType): Boolean = t match {
+    case FloatType | DoubleType | ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def asDouble(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case ByteType => a.getByte(i).toDouble
+  }
+
+  private def genGet(arr: String, i: String, t: DataType): String = t match {
+    case DoubleType => s"$arr.getDouble($i)"
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType => s"(double) $arr.getLong($i)"
+    case ShortType => s"(double) $arr.getShort($i)"
+    case ByteType => s"(double) $arr.getByte($i)"
+  }
 }

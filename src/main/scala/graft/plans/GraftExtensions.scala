@@ -73,7 +73,32 @@ object GraftExtensions {
     }
   )
 
-  /** True once the functions are visible in the session's registry. */
-  def registered(spark: org.apache.spark.sql.SparkSession): Boolean =
-    spark.catalog.functionExists("graft_minhash_sig")
+  /** Every function [[GraftExtensions.apply]] injects. */
+  val allFunctionNames: Seq[String] =
+    Seq("graft_minhash_sig", "graft_simhash", "graft_bloom_might_contain", "graft_dot")
+
+  /** Per-session answer cache: dispatch sites construct many Columns per
+    * plan (`Embeddings.dot` builds bits×dot calls for one projection),
+    * and a catalog `functionExists` lookup per Column would dominate
+    * plan construction. Weak keys so a closed session doesn't pin.
+    * Only a positive answer is cached — extensions are applied at
+    * session build, but a plain session that registers the functions
+    * later (tests do) must not be stuck on a stale `false`.
+    */
+  private val registeredCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** True once ALL the engine's native functions are visible in the
+    * session's registry — checked on every name actually dispatched
+    * (not a single proxy), so a partially-registered session falls back
+    * to the HOF/UDF twins rather than failing analysis.
+    */
+  def registered(spark: org.apache.spark.sql.SparkSession): Boolean = {
+    if (registeredCache.get(spark) != null) true
+    else {
+      val ok = allFunctionNames.forall(spark.catalog.functionExists)
+      if (ok) registeredCache.put(spark, java.lang.Boolean.TRUE)
+      ok
+    }
+  }
 }

@@ -288,12 +288,17 @@ object StreamingQueries {
         val res = runBounded(s,
           EventsStream.runningUserFeatures(ev).toDF(),
           "graft_stream_runfeat", OutputMode.Update())
+        // +1e-6 nudge (the repo's rounding convention): the stateful
+        // fold accumulates in event order while DuckDB sums in arbitrary
+        // order, so a ulp difference at a .xx5 boundary could flip the
+        // rounded digit; the shared epsilon shifts both sides off it.
         res.groupBy(col("user_id"))
           .agg(max(col("n_events")).as("n_events"),
-            round(max_by(col("total_value"), col("n_events")), 2).as("total_value"))
+            round(max_by(col("total_value"), col("n_events")) + lit(1e-6), 2)
+              .as("total_value"))
       },
       Some("""SELECT user_id, count(*) AS n_events,
-             | round(sum(value), 2) AS total_value
+             | round(sum(value) + 1e-6, 2) AS total_value
              |FROM events GROUP BY user_id""".stripMargin)),
 
     // MULTI-BATCH stream-stream interval join: one time-ordered file per

@@ -64,6 +64,40 @@ class BloomMightContainSpec extends AnyFunSuite with SparkSpec {
       s"probe fell out of codegen:\n$plan")
   }
 
+  test("content-based equality: identical sketches canonicalize, different don't") {
+    val bytes = sketchOf(Seq("alpha", "beta"))
+    val child = org.apache.spark.sql.catalyst.expressions.Literal
+      .create("alpha", org.apache.spark.sql.types.StringType)
+    val a = BloomMightContain(child, bytes)
+    val b = BloomMightContain(child, bytes.clone()) // same content, new array
+    val c = BloomMightContain(child, sketchOf(Seq("gamma")))
+    assert(a == b && a.hashCode == b.hashCode,
+      "same-content sketches must compare equal (cache/exchange reuse)")
+    assert(a.semanticEquals(b))
+    assert(a != c && !a.semanticEquals(c))
+  }
+
+  test("ngramOverlapBloom falls back to a UDF probe when the native fn is absent") {
+    // newSession + dropFunction simulates a plain session (no
+    // GraftExtensions): registered() must answer false for THIS session
+    // (per-session cache) and the operator must still return the exact
+    // semi-join result via the UDF probe instead of failing analysis.
+    val plain = spark.newSession()
+    GraftExtensions.allFunctionNames.foreach(n => plain.sessionState.functionRegistry
+      .dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
+    assert(!GraftExtensions.registered(plain))
+    assert(GraftExtensions.registered(spark), "original session must stay registered")
+    val docs = plain.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different words with no overlap to speak of here now"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again")
+    )).toDF("doc_id", "text")
+    val out = Decontamination.ngramOverlapBloom(
+      docs, docs.filter(col("doc_id") === 1L), "doc_id", "text", n = 8)
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    out.unpersist()
+  }
+
   test("ngramOverlapBloom carries no UDF and matches the exact semi-join form") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again", "en"),

@@ -43,6 +43,28 @@ class DotProductSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).contains(0.0))
   }
 
+  test("integer and long arrays widen to double like the HOF cast chain") {
+    val df = Seq(
+      (1L, Seq(1, 2, 3), Seq(4, 5, 6)),
+      (2L, Seq(-7, 0, 9), Seq(2, 2, 2))
+    ).toDF("id", "ai", "bi")
+      .withColumn("al", transform($"ai", x => x.cast("long")))
+      .withColumn("bl", transform($"bi", x => x.cast("long")))
+    val native = df.select($"id",
+      call_function("graft_dot", $"ai", $"bi").as("dii"),
+      call_function("graft_dot", $"al", $"bi").as("dli"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val hof = df.select($"id", hofDot($"ai", $"bi").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(native(1L) == ((32.0, 32.0)) && hof(1L) == 32.0)
+    assert(native(2L) == ((4.0, 4.0)) && hof(2L) == 4.0)
+    // Embeddings.dot must route integer arrays through the native kernel
+    // without failing analysis (the pre-widening regression)
+    val viaApi = df.select(graft.llm.Embeddings.dot($"ai", $"bi").as("d"))
+      .collect().map(_.getDouble(0)).toSet
+    assert(viaApi == Set(32.0, 4.0))
+  }
+
   test("codegen and interpreted paths agree") {
     val df = Seq((1L, Seq(0.5f, -0.25f, 2.0f), Seq(4.0f, 8.0f, 0.125f))).toDF("id", "a", "b")
     def run(): Double = df.select(call_function("graft_dot", $"a", $"b"))
