@@ -318,4 +318,85 @@ object Dedup {
       docs.select(col(idCol).as("id"),
         TextFunctions.charShingles(col(textCol), n).as("sh")),
       bands, rowsPerBand, minJaccard, maxBucketSize)
+
+  /** The persisted SIGNATURE INDEX for incremental dedup — one row per
+    * document: `(id, hs, sig)` where `hs` is the 32-bit shingle-hash set
+    * and `sig` the k = bands×rowsPerBand MinHash signature. No text
+    * column: the index is what a production pipeline persists between
+    * ingests (write it to parquet) so that arriving shards can be
+    * deduplicated against the whole corpus WITHOUT re-reading or
+    * re-shingling corpus text — the daily-ingest operation, where the
+    * corpus is 100 TB and the shard is a few hundred GB. `hs` is kept
+    * (not just `sig`) so candidate pairs can be EXACTLY rescored from
+    * the index alone: Jaccard over the 32-bit hash sets, which equals
+    * string-shingle Jaccard except under md5-fold collisions inside one
+    * pair's shingle union (~|sh|²/2³² ≈ 10⁻⁵ per pair — and LSH
+    * candidate generation is already probabilistic at a far coarser
+    * grain). Index size is O(tokens) longs, ~comparable to the text it
+    * replaces, partitionable and prunable like any parquet table.
+    */
+  def signatureIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    val k = bands * rowsPerBand
+    val base = docs.select(col(idCol).as("id"),
+      TextFunctions.shingleHashes(
+        TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), 3)).as("hs"))
+    val sigCol =
+      if (graft.plans.GraftExtensions.registered(docs.sparkSession))
+        call_function("graft_minhash_sig", col("hs"), lit(k))
+      else TextFunctions.minhashSignature(col("hs"), k)
+    base.select(col("id"), col("hs"), sigCol.as("sig"))
+  }
+
+  /** Incremental near-dup pairs: every pair TOUCHING the new shard —
+    * shard×corpus and shard×shard, never corpus×corpus (those were
+    * found when the corpus was indexed) — identical to recomputing
+    * [[minhashPairs]] over corpus ∪ shard from scratch and keeping the
+    * shard-touching pairs, but the corpus side reads ONLY the persisted
+    * [[signatureIndex]]: no corpus text scan, no re-shingle, no
+    * re-hash. Only the shard (the small side) pays the md5 tree.
+    *
+    * Exactness: banding is deterministic per document, so index-time
+    * band keys equal from-scratch band keys; the mega-bucket census is
+    * taken over index ∪ shard bands, which IS the union corpus census.
+    * Rescoring is Jaccard over the stored hash sets (see
+    * [[signatureIndex]] for the collision fine print).
+    *
+    * EAGER: runs a Spark job and returns a persisted handle (caching
+    * contract above); `unpersist()` the result when done.
+    */
+  def incrementalPairs(
+      index: DataFrame, shard: DataFrame,
+      idCol: String, textCol: String,
+      bands: Int = 6, rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5,
+      maxBucketSize: Int = 64): DataFrame = {
+    val all = index.select(col("id"), col("hs"), col("sig"))
+      .withColumn("__new", lit(false))
+      .union(signatureIndex(shard, idCol, textCol, bands, rowsPerBand)
+        .withColumn("__new", lit(true)))
+      .persist()
+    val banded = all.select(col("id"), col("__new"),
+      explode(TextFunctions.lshBandKeysFromSig(col("sig"), bands, rowsPerBand)).as("band"))
+      .persist()
+    val keep = banded.groupBy(col("band")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .select(col("band"))
+    val discriminative = banded.join(keep, Seq("band"), "left_semi")
+    val cands = discriminative.as("a")
+      .join(discriminative.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id")
+          && (col("a.__new") || col("b.__new")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    scoped(
+      cands
+        .join(all.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(all.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          TextFunctions.jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
+        .filter(col("jaccard") >= lit(minJaccard)),
+      all, banded)
+  }
 }

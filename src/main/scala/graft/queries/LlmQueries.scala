@@ -237,6 +237,41 @@ object LlmQueries {
            |FROM k WHERE rn = 1""".stripMargin
       }),
 
+    // INCREMENTAL dedup — the daily-ingest operation: documents with
+    // doc_id % 10 == 0 arrive as a new shard; the rest are the already-
+    // indexed corpus. The corpus side round-trips through a persisted
+    // parquet signature index (id, hs, sig — no text), and the operator
+    // finds every shard-touching near-dup pair WITHOUT re-reading corpus
+    // text. The oracle recomputes the whole LSH pipeline from scratch
+    // over all documents and keeps pairs where either side is in the
+    // shard — proving incremental ≡ from-scratch.
+    QueryDef("llm_dedup_incremental",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        val idxDir = s"target/tmp/sig_index_${math.abs(dir.hashCode)}"
+        Dedup.signatureIndex(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+          .write.mode("overwrite").parquet(idxDir)
+        Dedup.incrementalPairs(
+          s.read.parquet(idxDir), docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text")
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard") + lit(1e-6), 4).as("jaccard"))
+      },
+      Some(s"""WITH t AS ($toksCte),
+              |s AS (SELECT doc_id, $shingles3 AS sh FROM t),
+              |hh AS (SELECT doc_id, list_transform(sh, x -> ${hashFoldSql("x")}) AS hs FROM s),
+              |b0 AS (SELECT doc_id, unnest(${bandsSql("hs", 6, 2)}) AS band FROM hh),
+              |b AS (SELECT * FROM b0 WHERE band IN
+              |  (SELECT band FROM b0 GROUP BY band HAVING count(*) <= 64)),
+              |c AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b FROM b a
+              |  JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
+              |   AND (a.doc_id % 10 = 0 OR b2.doc_id % 10 = 0) GROUP BY 1, 2),
+              |j AS (SELECT id_a, id_b, ${jaccardSql("ha.hs", "hb.hs")} AS jac
+              |  FROM c JOIN hh ha ON ha.doc_id = c.id_a
+              |  JOIN hh hb ON hb.doc_id = c.id_b)
+              |SELECT id_a, id_b, round(jac + 0.000001, 4) AS jaccard
+              |FROM j WHERE jac >= 0.5""".stripMargin)),
+
     // Fuzzy decontamination: flag corpus docs sharing ANY 8-token
     // shingle with the eval set (the n-gram-overlap check real
     // decontamination pipelines run; exact-match is llm_decontaminate).

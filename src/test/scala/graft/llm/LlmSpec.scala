@@ -39,6 +39,35 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc matched")
   }
 
+  test("incremental shard-vs-index dedup ≡ from-scratch pairs touching the shard") {
+    import org.apache.spark.sql.functions.{col, round, lit}
+    // corpus = even ids, shard = odd ids; 1 (exact dup of 0) and the
+    // near-dup 2↔0 relation cross the corpus/shard boundary
+    val corpus = fixture.filter(col("doc_id") % 2 === 0)
+    val shard = fixture.filter(col("doc_id") % 2 === 1)
+    val idxDir = java.nio.file.Files.createTempDirectory("sig_index_spec").toString
+    Dedup.signatureIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxDir)
+    val index = spark.read.parquet(idxDir)
+
+    def norm(df: DataFrame): Set[(Long, Long, Double)] = df
+      .select(col("id_a"), col("id_b"), round(col("jaccard") + lit(1e-6), 4).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val incremental = Dedup.incrementalPairs(index, shard, "doc_id", "text",
+      minJaccard = 0.4)
+    val scratch = Dedup.minhashPairs(fixture, "doc_id", "text", minJaccard = 0.4)
+    val scratchShardTouching = norm(
+      scratch.filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1))
+    assert(norm(incremental) == scratchShardTouching,
+      "incremental pairs diverged from the from-scratch recompute")
+    // and it actually found the planted cross-boundary dup
+    assert(norm(incremental).exists { case (a, b, _) => (a, b) == ((0L, 1L)) })
+    // no corpus×corpus pair leaks into the increment
+    assert(!norm(incremental).exists { case (a, b, _) => a % 2 == 0 && b % 2 == 0 })
+    incremental.unpersist(); scratch.unpersist()
+  }
+
   test("simhash: identical docs at hamming 0; near dups close; pairs found by banding") {
     val pairs = Dedup.simhashPairs(fixture, "doc_id", "text", maxHamming = 8)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
