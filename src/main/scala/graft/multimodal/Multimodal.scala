@@ -17,17 +17,21 @@ import org.apache.spark.sql.types._
   * `mm_decode_png` gate hash-checks genuine decoded dimensions against
   * fixture-derived expectations. PCM AUDIO is decoded for real too:
   * JDK `javax.sound.sampled` parses WAV/AIFF/AU headers (sample rate,
-  * frame count → duration; `mm_decode_wav` gate). Remaining documented
-  * stubs:
-  *   - VIDEO and compressed audio (this container has no media
-  *     codecs) — [[fakeMeta]] derives deterministic fake fields from
-  *     the payload's sha-256 so the DuckDB oracle can replay them; a
-  *     production deployment swaps in javacv / ffmpeg-over-pipe
-  *     without touching the surrounding plumbing;
-  *   - a payload the JDK parsers can't read (e.g. the text-byte
-  *     stand-in payloads of the aggregate gates) falls back to the
-  *     same fake, keeping malformed inputs non-fatal and
-  *     oracle-replayable.
+  * frame count → duration; `mm_decode_wav` gate). VIDEO CONTAINER
+  * metadata is decoded for real as well: [[videoMeta]] walks MP4 /
+  * ISO-BMFF box headers (`moov`→`mvhd` for duration, `trak`→`tkhd` for
+  * width×height, `stbl`→`stsz` for the sample count) — pure JVM byte
+  * parsing, no codec needed (`mm_decode_mp4` gate). Remaining
+  * documented stubs:
+  *   - video PIXELS and compressed audio SAMPLES (this container has
+  *     no media codecs) — container metadata is real, decoded frames
+  *     are not; a production deployment swaps in javacv /
+  *     ffmpeg-over-pipe without touching the surrounding plumbing;
+  *   - a payload the parsers can't read (e.g. the text-byte stand-in
+  *     payloads of the aggregate gates, or a fragmented MP4 whose
+  *     sample count genuinely isn't in `moov`) falls back to
+  *     [[fakeMeta]] — deterministic sha-256-derived fields the DuckDB
+  *     oracle can replay, keeping malformed inputs non-fatal.
   */
 object Multimodal {
 
@@ -124,12 +128,145 @@ object Multimodal {
       case _: java.io.IOException => None
     }
 
+  // ---- MP4 / ISO-BMFF container parsing (pure byte walking, no codec) ----
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  /** Walk the ISO-BMFF box sequence in `[start, end)`, calling `f(type,
+    * payloadStart, payloadEnd)` per box. Handles 32-bit sizes, the
+    * 64-bit `size==1` largesize escape, and the `size==0` to-end form;
+    * stops (without throwing) at the first malformed header.
+    */
+  private def foreachBox(b: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var off = start
+    while (off + 8 <= end) {
+      val size32 = be32(b, off)
+      val typ = new String(b, off + 4, 4, "ISO-8859-1")
+      val hdr = if (size32 == 1) 16 else 8
+      val size: Long =
+        if (size32 == 1) { if (off + 16 > end) return; be64(b, off + 8) }
+        else if (size32 == 0) (end - off).toLong
+        else size32
+      if (size < hdr || off + size > end) return
+      f(typ, off + hdr, (off + size).toInt)
+      off += size.toInt
+    }
+  }
+
+  /** Real MP4/ISO-BMFF container metadata — (width, height, n_frames,
+    * duration_s) from box HEADERS alone: `moov`→`mvhd` carries
+    * timescale+duration (v0 and v1 layouts), the first `trak` with a
+    * nonzero `tkhd` 16.16 width×height is the video track, and its
+    * `stbl`→`stsz` sample count is the frame count. None when any of
+    * those is absent (not an MP4, or a fragmented MP4 whose sample
+    * count lives in `moof` fragments) — the caller falls back to the
+    * documented stub rather than fabricating fields.
+    */
+  private[multimodal] def videoMeta(payload: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    var duration: Option[Double] = None
+    var dims: Option[(Int, Int)] = None
+    var frames: Option[Int] = None
+    try {
+      foreachBox(payload, 0, payload.length) {
+        case ("moov", ms, me) =>
+          foreachBox(payload, ms, me) {
+            case ("mvhd", s, e) =>
+              val ver = payload(s) & 0xff
+              if (ver == 1 && e - s >= 32) {
+                val ts = be32(payload, s + 20)
+                if (ts > 0) duration = Some(be64(payload, s + 24).toDouble / ts)
+              } else if (ver == 0 && e - s >= 20) {
+                val ts = be32(payload, s + 12)
+                if (ts > 0) duration = Some(be32(payload, s + 16).toDouble / ts)
+              }
+            case ("trak", ts0, te) =>
+              var w = 0; var h = 0; var fr = -1
+              foreachBox(payload, ts0, te) {
+                case ("tkhd", s, e) =>
+                  val base = s + (if ((payload(s) & 0xff) == 1) 88 else 76)
+                  if (base + 8 <= e) {
+                    w = (be32(payload, base) >> 16).toInt
+                    h = (be32(payload, base + 4) >> 16).toInt
+                  }
+                case ("mdia", s, e) => foreachBox(payload, s, e) {
+                  case ("minf", s2, e2) => foreachBox(payload, s2, e2) {
+                    case ("stbl", s3, e3) => foreachBox(payload, s3, e3) {
+                      case ("stsz", zs, ze) if ze - zs >= 12 =>
+                        fr = be32(payload, zs + 8).toInt
+                      case _ =>
+                    }
+                    case _ =>
+                  }
+                  case _ =>
+                }
+                case _ =>
+              }
+              if (w > 0 && h > 0 && dims.isEmpty) {
+                dims = Some((w, h))
+                if (fr >= 0) frames = Some(fr)
+              }
+            case _ =>
+          }
+        case _ =>
+      }
+    } catch { case _: ArrayIndexOutOfBoundsException => return None }
+    for { (w, h) <- dims; d <- duration; f <- frames } yield (w, h, f, d)
+  }
+
+  /** Deterministic in-memory MP4 (spec-layout `ftyp`+`moov`+`mdat`
+    * boxes, constant-size samples so `stsz` needs no table) — fixture
+    * support for the real video-decode gate: every field is a fixed
+    * function of the arguments, so the same call always produces
+    * byte-identical fixtures. Duration is `durationUnits / timescale`
+    * seconds.
+    */
+  def mp4Bytes(w: Int, h: Int, nFrames: Int,
+      timescale: Int, durationUnits: Int, seed: Int): Array[Byte] = {
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val p = payload.flatten.toArray
+      cat(u32(p.length + 8L), typ.getBytes("ISO-8859-1"), p)
+    }
+    val matrix = cat(u32(0x10000), u32(0), u32(0), u32(0), u32(0x10000),
+      u32(0), u32(0), u32(0), u32(0x40000000))
+    val ftyp = box("ftyp",
+      "isom".getBytes("ISO-8859-1"), u32(0x200),
+      "isom".getBytes("ISO-8859-1"), "mp41".getBytes("ISO-8859-1"))
+    val mvhd = box("mvhd", u32(0), u32(0), u32(0),
+      u32(timescale), u32(durationUnits),
+      u32(0x10000), Array[Byte](1, 0), new Array[Byte](10),
+      matrix, new Array[Byte](24), u32(2))
+    val tkhd = box("tkhd", u32(7), u32(0), u32(0), u32(1), u32(0),
+      u32(durationUnits), new Array[Byte](8), new Array[Byte](8),
+      matrix, u32(w.toLong << 16), u32(h.toLong << 16))
+    val mdhd = box("mdhd", u32(0), u32(0), u32(0),
+      u32(timescale), u32(durationUnits), Array[Byte](0x55, (0xc4 - 256).toByte), new Array[Byte](2))
+    val hdlr = box("hdlr", u32(0), u32(0),
+      "vide".getBytes("ISO-8859-1"), new Array[Byte](12), Array[Byte](0))
+    val stsz = box("stsz", u32(0), u32(256), u32(nFrames))
+    val minf = box("minf", box("stbl", stsz))
+    val trak = box("trak", tkhd, box("mdia", mdhd, hdlr, minf))
+    val mdat = box("mdat",
+      Array.tabulate(64 + math.abs(seed) % 128)(i => ((i * 31 + seed) & 0xff).toByte))
+    cat(ftyp, box("moov", mvhd, trak), mdat)
+  }
+
   /** Batched decode: one task per partition streams its rows through the
     * decoder — the exact execution shape a Pandas-UDF `mapInPandas`
-    * decode stage has, minus the Arrow/IPC hop. Images ([[imageMeta]])
-    * and PCM audio ([[audioMeta]]: width/height 0, n_frames = audio
-    * frames, duration = frames/rate) decode for real; video and
-    * unparsable payloads take the documented [[fakeMeta]] stub.
+    * decode stage has, minus the Arrow/IPC hop. Images ([[imageMeta]]),
+    * PCM audio ([[audioMeta]]: width/height 0, n_frames = audio
+    * frames, duration = frames/rate) and MP4 video containers
+    * ([[videoMeta]]) decode for real; unparsable payloads take the
+    * documented [[fakeMeta]] stub.
     */
   def decode(assets: DataFrame): DataFrame = {
     implicit val enc = Encoders.row(decodedSchema)
@@ -143,6 +280,7 @@ object Multimodal {
             case "image" => imageMeta(payload).map { case (iw, ih) => (iw, ih, 1, 1 / 24.0) }
             case "audio" => audioMeta(payload).map { case (rate, fr) =>
               (0, 0, fr.toInt, fr.toDouble / rate) }
+            case "video" => videoMeta(payload)
             case _ => None
           }
           val (w, h, f, d) = real.getOrElse(fakeMeta(kind, payload))
@@ -176,7 +314,7 @@ object Multimodal {
     * a frame-level vision pipeline.
     */
   def sampleFrames(decoded: DataFrame, step: Int = 24): DataFrame =
-    decoded.filter(col("kind") === "video")
+    decoded.filter(col("kind") === "video" && col("n_frames") >= 1)
       .select(col("asset_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
 

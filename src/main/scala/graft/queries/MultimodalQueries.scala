@@ -95,6 +95,34 @@ object MultimodalQueries {
              | round((800 + (i * 37) % 1600) / 8000.0 + 0.000001, 6) AS duration_s
              |FROM range(0, 48) t(i)""".stripMargin)),
 
+    // REAL video container decode: deterministic fixture MP4s (dims,
+    // frame counts and durations from fixed formulas) flow through the
+    // batched decode stage; the ISO-BMFF box walker must recover the
+    // genuine moov/tkhd/stsz fields, and the oracle recomputes them
+    // from the formulas — a regression to the sha-derived stub
+    // mismatches every row.
+    QueryDef("mm_decode_mp4",
+      (s, dir) => {
+        import scala.jdk.CollectionConverters._
+        val n = 48
+        val rows: java.util.List[org.apache.spark.sql.Row] = (0 until n).map { i =>
+          val w = 16 + (i * 5) % 64
+          val h = 16 + (i * 9) % 48
+          val frames = 10 + (i * 13) % 120
+          org.apache.spark.sql.Row(i.toLong, "video",
+            Multimodal.mp4Bytes(w, h, frames, 600, frames * 25, i))
+        }.asJava
+        Multimodal.decode(s.createDataFrame(rows, Multimodal.assetSchema))
+          .select(col("asset_id"), col("width"), col("height"), col("n_frames"),
+            round(col("duration_s") + lit(1e-6), 6).as("duration_s"))
+      },
+      Some("""SELECT CAST(i AS BIGINT) AS asset_id,
+             | CAST(16 + (i * 5) % 64 AS INT) AS width,
+             | CAST(16 + (i * 9) % 48 AS INT) AS height,
+             | CAST(10 + (i * 13) % 120 AS INT) AS n_frames,
+             | round((10 + (i * 13) % 120) * 25.0 / 600.0 + 0.000001, 6) AS duration_s
+             |FROM range(0, 48) t(i)""".stripMargin)),
+
     // Frame sampling: every 24th frame index per video asset — the
     // explode-shaped pre-processing stage of a frame-level pipeline.
     QueryDef("mm_frames",

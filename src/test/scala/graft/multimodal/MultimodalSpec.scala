@@ -66,6 +66,42 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out(22L)._1 >= 160, "video payloads never go through the audio decoder")
   }
 
+  test("decode parses real MP4 container metadata via the box walker") {
+    val real = Seq(
+      (30L, "video", Multimodal.mp4Bytes(640, 360, 240, 600, 6000, seed = 5)),
+      (31L, "video", "definitely not an mp4".getBytes("UTF-8")), // fake fallback
+      (32L, "image", Multimodal.mp4Bytes(640, 360, 240, 600, 6000, seed = 5)) // kind gates decode
+    ).toDF("asset_id", "kind", "payload")
+    val out = Multimodal.decode(real).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4), r.getInt(5), r.getDouble(6)))).toMap
+    assert(out(30L) == ((640, 360, 240, 10.0)),
+      s"MP4 dims/frames/duration must be decoded for real: ${out(30L)}")
+    assert(out(31L)._1 >= 160, "unparsable video falls back to the deterministic fake")
+    assert(out(32L)._3 == 1, "mp4 payloads never go through the image decoder")
+  }
+
+  test("videoMeta handles 64-bit box sizes and rejects truncated moov") {
+    val ok = Multimodal.mp4Bytes(320, 240, 48, 600, 1200, seed = 9)
+    // rewrite the top-level moov header to the size==1 largesize form:
+    // locate moov (after ftyp), then splice [1][moov][64-bit size]
+    val ftypLen = ((ok(0) & 0xff) << 24) | ((ok(1) & 0xff) << 16) |
+      ((ok(2) & 0xff) << 8) | (ok(3) & 0xff)
+    val moovLen = ((ok(ftypLen) & 0xff) << 24) | ((ok(ftypLen + 1) & 0xff) << 16) |
+      ((ok(ftypLen + 2) & 0xff) << 8) | (ok(ftypLen + 3) & 0xff)
+    val before = ok.take(ftypLen)
+    val moovPayload = ok.slice(ftypLen + 8, ftypLen + moovLen)
+    val after = ok.drop(ftypLen + moovLen)
+    val large = java.nio.ByteBuffer.allocate(16)
+      .putInt(1).put("moov".getBytes("ISO-8859-1")).putLong(moovLen + 8L).array()
+    val rewritten = before ++ large ++ moovPayload ++ after
+    assert(Multimodal.videoMeta(rewritten).contains((320, 240, 48, 2.0)),
+      "largesize moov must parse")
+    // truncating inside moov must not throw — fall back to None
+    assert(Multimodal.videoMeta(ok.take(ftypLen + 20)).isEmpty)
+    // a moov missing stsz (fragmented-MP4 shape) is honestly rejected
+    assert(Multimodal.videoMeta(before ++ after).isEmpty)
+  }
+
   test("fake embedding has fixed dim and is deterministic") {
     val a = Multimodal.fakeEmbedding(assets, dim = 16).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
