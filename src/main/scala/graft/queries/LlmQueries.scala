@@ -324,6 +324,39 @@ object LlmQueries {
            |SELECT DISTINCT doc_id, lang FROM s WHERE g IN (SELECT g FROM ev)""".stripMargin
       }),
 
+    // Span REMOVAL decontamination: excise exactly the 8-token windows
+    // overlapping the eval set and keep the rest of each document
+    // (FineWeb-style scrubbing — flag/drop variants above throw away
+    // good tokens). Same Bloom-prefilter + exact-confirm shape as
+    // llm_decontaminate_bloom; the oracle replays the full chunk grid:
+    // hit positions, interval coverage, token rebuild.
+    QueryDef("llm_decontaminate_scrub",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        Decontamination.scrubSpans(
+          docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text")
+      },
+      Some {
+        val sh8 = "list_transform(range(1, greatest(len(w)-7, 1)+1), " +
+          "i -> array_to_string(w[i:i+7], ' '))"
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |ev AS (SELECT DISTINCT unnest($sh8) AS g FROM t WHERE doc_id % 50 = 0),
+           |gr AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-7, 1)+1)) AS p FROM t),
+           |hits AS (SELECT doc_id, list(p) AS ps FROM (
+           |   SELECT DISTINCT doc_id, p FROM gr
+           |   WHERE array_to_string(w[p:p+7], ' ') IN (SELECT g FROM ev))
+           |  GROUP BY doc_id),
+           |k AS (SELECT t.doc_id, t.w,
+           |   list_filter(range(1, len(t.w)+1), j ->
+           |     len(list_filter(coalesce(h.ps, CAST([] AS BIGINT[])),
+           |       p -> p <= j AND j <= p + 7)) = 0) AS kept
+           |  FROM t LEFT JOIN hits h ON h.doc_id = t.doc_id)
+           |SELECT doc_id,
+           | coalesce(array_to_string(list_transform(kept, j -> w[j]), ' '), '') AS text,
+           | CAST(len(w) - len(kept) AS INT) AS n_removed
+           |FROM k""".stripMargin
+      }),
+
     // SimHash values per document.
     QueryDef("llm_simhash",
       (s, dir) => {

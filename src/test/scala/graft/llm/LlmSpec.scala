@@ -81,6 +81,27 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("scrubSpans excises exactly the contaminated windows and keeps the rest") {
+    import org.apache.spark.sql.functions.col
+    val evalText = "alpha beta gamma delta"  // a 4-gram eval snippet
+    val corpus = Seq(
+      // eval 4-gram quoted mid-document: tokens 2..5 must go, rest stays
+      (0L, s"intro words $evalText closing words here"),
+      // clean document: untouched, n_removed 0
+      (1L, "totally unrelated text with no overlap whatsoever at all"),
+      // two overlapping hits (eval gram at 0 and at 1 via repeat) merge
+      (2L, s"alpha beta gamma delta extra")
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq((100L, evalText)).toDF("doc_id", "text")
+    val out = Decontamination.scrubSpans(corpus, evalDocs, "doc_id", "text", n = 4)
+    val rows = out.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(rows(0L) == (("intro words closing words here", 4)), rows(0L))
+    assert(rows(1L) == (("totally unrelated text with no overlap whatsoever at all", 0)))
+    assert(rows(2L) == (("extra", 4)), rows(2L))
+    assert(out.count() == 3, "every corpus document must come back")
+    out.unpersist()
+  }
+
   test("language ID picks the marked language; quality score bounded") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
