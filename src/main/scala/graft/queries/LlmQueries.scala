@@ -149,6 +149,76 @@ object LlmQueries {
     l -> s"len(list_filter(w, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))"
   }
 
+  /** Multi-table-LSH recall@3 vs brute force over `emb` (vec_id < 50 as
+    * queries), with the ≥0.8 average-recall FLOOR enforced engine-side:
+    * `raise_error` on violation, so a recall regression fails the gate
+    * loudly rather than producing plausible-looking rows. Shared by the
+    * verify-dir gate and its sf0.1 twin.
+    */
+  private def mtRecallFloorGate(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val q = emb.filter(col("vec_id") < 50)
+    val k = 3
+    val bf = Embeddings.bruteForceTopK(emb, q, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ls = Embeddings.lshTopKMultiTable(
+        emb, q, "vec_id", "embedding", dim = 64, bits = 3, tables = 10, k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = ls.join(bf, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
+    val perQuery = q.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("__h"), lit(0L)) / lit(k.toDouble) + lit(1e-6), 4).as("recall"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    perQuery
+      .withColumn("__avg", avg(col("recall")).over(wAll))
+      .withColumn("floor_ok",
+        when(col("__avg") >= 0.8, lit(1)).otherwise(raise_error(concat(
+          lit("ANN multi-table recall floor 0.8 violated: avg="),
+          col("__avg").cast("string")))).cast("int"))
+      .drop("__avg")
+  }
+
+  /** DuckDB twin of [[mtRecallFloorGate]] over any table expression
+    * (a registered view name or a `read_parquet(...)` call).
+    */
+  private def mtRecallSql(table: String): String = {
+    val tableBuckets = (0 until 10)
+      .map(t => projBucketSql("embedding", 64, 3, t, prefixed = true))
+      .mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+       |  FROM $table WHERE vec_id < 50),
+       |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |   ${cosSql("q.qe", "e.embedding")} AS sim
+       |  FROM q, $table e WHERE e.vec_id != q.query_id),
+       |bf AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM s) WHERE rnk <= 3),
+       |cb AS (SELECT vec_id, embedding, unnest($tableBuckets) AS bucket
+       |  FROM $table),
+       |cand AS (SELECT DISTINCT qp.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM cb qp JOIN cb c ON qp.bucket = c.bucket AND c.vec_id != qp.vec_id
+       |  WHERE qp.vec_id < 50),
+       |j AS (SELECT cand.query_id, cand.neighbor_id,
+       |   ${cosSql("qe.embedding", "ce.embedding")} AS sim
+       |  FROM cand JOIN $table qe ON qe.vec_id = cand.query_id
+       |   JOIN $table ce ON ce.vec_id = cand.neighbor_id),
+       |ls AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM j) WHERE rnk <= 3),
+       |h AS (SELECT ls.query_id, count(*) AS n FROM ls
+       |  JOIN bf ON ls.query_id = bf.query_id AND ls.neighbor_id = bf.neighbor_id
+       |  GROUP BY 1),
+       |r AS (SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       |  round(coalesce(h.n, 0) / 3.0 + 0.000001, 4) AS recall
+       | FROM q LEFT JOIN h ON q.query_id = h.query_id)
+       |SELECT query_id, n_hits, recall,
+       | CAST(CASE WHEN avg(recall) OVER () >= 0.8 THEN 1 ELSE 0 END AS INT) AS floor_ok
+       |FROM r""".stripMargin
+  }
+
   // ---- the queries ----
 
   val defs: Seq[QueryDef] = Seq(
@@ -1061,65 +1131,17 @@ object LlmQueries {
     // sf0.01 — this corpus is a hard regime (true top-3 neighbors at
     // median cosine 0.34), so the floor has real margin, not slack.
     QueryDef("llm_emb_recall_mt",
-      (s, dir) => {
-        val emb = QueryDef.table(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") < 50)
-        val k = 3
-        val bf = Embeddings.bruteForceTopK(emb, q, "vec_id", "embedding", k)
-          .select(col("query_id"), col("neighbor_id"))
-        val ls = Embeddings.lshTopKMultiTable(
-            emb, q, "vec_id", "embedding", dim = 64, bits = 3, tables = 10, k = k)
-          .select(col("query_id"), col("neighbor_id"))
-        val hits = ls.join(bf, Seq("query_id", "neighbor_id"))
-          .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
-        val perQuery = q.select(col("vec_id").as("query_id"))
-          .join(hits, Seq("query_id"), "left")
-          .select(col("query_id"),
-            coalesce(col("__h"), lit(0L)).as("n_hits"),
-            round(coalesce(col("__h"), lit(0L)) / lit(k.toDouble) + lit(1e-6), 4).as("recall"))
-        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-        perQuery
-          .withColumn("__avg", avg(col("recall")).over(wAll))
-          .withColumn("floor_ok",
-            when(col("__avg") >= 0.8, lit(1)).otherwise(raise_error(concat(
-              lit("ANN multi-table recall floor 0.8 violated: avg="),
-              col("__avg").cast("string")))).cast("int"))
-          .drop("__avg")
-      },
-      Some {
-        val tableBuckets = (0 until 10)
-          .map(t => projBucketSql("embedding", 64, 3, t, prefixed = true))
-          .mkString("[", ", ", "]")
-        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-           |  FROM embeddings WHERE vec_id < 50),
-           |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-           |   ${cosSql("q.qe", "e.embedding")} AS sim
-           |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
-           |bf AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
-           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-           |  FROM s) WHERE rnk <= 3),
-           |cb AS (SELECT vec_id, embedding, unnest($tableBuckets) AS bucket
-           |  FROM embeddings),
-           |cand AS (SELECT DISTINCT qp.vec_id AS query_id, c.vec_id AS neighbor_id
-           |  FROM cb qp JOIN cb c ON qp.bucket = c.bucket AND c.vec_id != qp.vec_id
-           |  WHERE qp.vec_id < 50),
-           |j AS (SELECT cand.query_id, cand.neighbor_id,
-           |   ${cosSql("qe.embedding", "ce.embedding")} AS sim
-           |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
-           |   JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
-           |ls AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
-           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-           |  FROM j) WHERE rnk <= 3),
-           |h AS (SELECT ls.query_id, count(*) AS n FROM ls
-           |  JOIN bf ON ls.query_id = bf.query_id AND ls.neighbor_id = bf.neighbor_id
-           |  GROUP BY 1),
-           |r AS (SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
-           |  round(coalesce(h.n, 0) / 3.0 + 0.000001, 4) AS recall
-           | FROM q LEFT JOIN h ON q.query_id = h.query_id)
-           |SELECT query_id, n_hits, recall,
-           | CAST(CASE WHEN avg(recall) OVER () >= 0.8 THEN 1 ELSE 0 END AS INT) AS floor_ok
-           |FROM r""".stripMargin
-      }),
+      (s, dir) => mtRecallFloorGate(QueryDef.table(s, dir, "embeddings")),
+      Some(mtRecallSql("embeddings"))),
+
+    // The SAME floor gate over the sf0.1 embedding fixture (static
+    // driver-generated path, read identically by both engines): 2,000
+    // vectors vs the verify dir's 500 — bucket balance and the ≥0.8
+    // recall floor proven at 4× corpus size, not just at gate scale.
+    QueryDef("llm_emb_recall_mt_sf01",
+      (s, dir) => mtRecallFloorGate(
+        s.read.parquet("/root/testdata/sf0.1/embeddings.parquet")),
+      Some(mtRecallSql("read_parquet('/root/testdata/sf0.1/embeddings.parquet')"))),
 
     // Multimodal-adjacent: array-typed column stats per label.
     QueryDef("llm_emb_stats",
