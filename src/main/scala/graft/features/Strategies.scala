@@ -26,33 +26,57 @@ trait FeatureStrategy {
   def apply(df: DataFrame, spec: FeatureSpec): DataFrame
 }
 
-/** Picks the compilation strategy from the spec shape — the optimizer the
-  * engine owns (SURVEY.md §4): the reference hand-picks an implementation
-  * per benchmark run; graft picks for the user.
+/** Picks the compilation strategy from the spec shape and the input size
+  * estimate — the optimizer the engine owns (SURVEY.md §4): the reference
+  * hand-picks an implementation per benchmark run; graft picks for the
+  * user.
   *
   * Decision table (pinned by StrategyEquivalenceSpec):
   *   - `features ≤ CaseWhenStrategy.MaxSingleAggFeatures` →
   *     [[CaseWhenStrategy]]: the spec-canonical single conditional
   *     aggregate — one scan, one shuffle, codegen-eligible at this width.
-  *   - wider → [[AggregatorStrategy]]: one scan + one shuffle of typed
-  *     ObjectHashAggregate state; the fastest measured shape for wide
-  *     specs at every scale (BENCH tiny: 10.3 s vs ~40 s chunked
-  *     case-when) and the only one whose scan count and shuffle volume
-  *     are both minimal.
+  *   - wider, input below [[AutoStrategy.WideSpecPivotBytes]] →
+  *     [[AggregatorStrategy]]: one scan + one shuffle of typed
+  *     ObjectHashAggregate state — the fastest measured shape at small
+  *     volume (BENCH tiny, 17M rows: aggregator 4.2 s vs pivot 15.3 s,
+  *     whose explode+pivot machinery is pure overhead there).
+  *   - wider AND larger → [[PivotRollupStrategy]]. Evidence
+  *     (BENCH_medium_r0{3,4,5,6}, 1.72B rows): under healthy storage
+  *     the two are par (r3: 100 vs 97 s; r4: 140 vs 144 s), but under
+  *     the degraded-I/O regime this host spends most rounds in, the
+  *     aggregator's large per-key object buffers (~17 KB × keys of
+  *     spill-eligible state per task) degrade 4-5× (r5: 481 vs 199 s;
+  *     r6: 548 vs 136 s — with the r6 datagen I/O control at 1705 s vs
+  *     r4's 348 s) while the pivot's fixed `tuples×windows×5` numeric
+  *     cells barely move (136 s in r6 is BELOW r4's 144). Routing large
+  *     inputs to pivot therefore loses nothing when I/O is healthy and
+  *     wins ~4× when it isn't — the asymmetric-risk choice for a plan
+  *     that must survive a 1000-executor cluster where SOME executor is
+  *     always in the slow-I/O regime.
   *
-  * Key cardinality deliberately does not enter the rule: both branches
-  * shuffle only aggregated state, and AggregatorStrategy degrades
-  * gracefully to sort-based aggregation past the ObjectHashAggregate
-  * fallback threshold (sized in GraftSession).
+  * Key cardinality deliberately does not enter the rule: both wide
+  * branches shuffle only aggregated state, and AggregatorStrategy
+  * degrades gracefully to sort-based aggregation past the
+  * ObjectHashAggregate fallback threshold (sized in GraftSession).
   */
 object AutoStrategy extends FeatureStrategy {
 
-  def choose(spec: FeatureSpec): FeatureStrategy =
+  /** Input-size estimate above which wide specs compile as pivot-rollup
+    * (see decision table): between tiny's 113 MB (aggregator wins 3.6×)
+    * and medium's 11 GB (pivot par-to-4× better), set at the decade
+    * boundary. Compared against Catalyst's `optimizedPlan.stats
+    * .sizeInBytes` — file bytes for a parquet scan, no job launched.
+    */
+  val WideSpecPivotBytes: BigInt = BigInt(2L << 30)
+
+  def choose(spec: FeatureSpec, inputBytes: BigInt = BigInt(0)): FeatureStrategy =
     if (spec.features.length <= CaseWhenStrategy.MaxSingleAggFeatures)
       CaseWhenStrategy
+    else if (inputBytes > WideSpecPivotBytes) PivotRollupStrategy
     else AggregatorStrategy
 
-  def apply(df: DataFrame, spec: FeatureSpec): DataFrame = choose(spec)(df, spec)
+  def apply(df: DataFrame, spec: FeatureSpec): DataFrame =
+    choose(spec, df.queryExecution.optimizedPlan.stats.sizeInBytes)(df, spec)
 }
 
 /** Single-pass conditional aggregation: `agg_k(CASE WHEN cond THEN x END)`

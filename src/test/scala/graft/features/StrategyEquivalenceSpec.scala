@@ -112,11 +112,18 @@ class StrategyEquivalenceSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.get(0)).toSet == Set("null", null))
   }
 
-  test("AutoStrategy decision table: narrow specs stay case-when, wide go aggregator") {
+  test("AutoStrategy decision table: narrow → case-when; wide → aggregator small, pivot large") {
     assert(AutoStrategy.choose(spec) == CaseWhenStrategy,
       s"${spec.features.length}-feature spec should compile as the canonical case-when")
     assert(AutoStrategy.choose(FeatureSpec.reference) == AggregatorStrategy,
-      "the 2,080-feature reference spec should route to the one-scan aggregator")
+      "the 2,080-feature reference spec routes to the one-scan aggregator at small volume")
+    assert(AutoStrategy.choose(FeatureSpec.reference,
+        AutoStrategy.WideSpecPivotBytes + 1) == PivotRollupStrategy,
+      "above the size threshold a wide spec routes to pivot-rollup " +
+        "(the strategy measured par-to-4x better at medium, BENCH_medium_r06)")
+    // narrow specs never route to pivot regardless of size
+    assert(AutoStrategy.choose(spec,
+      AutoStrategy.WideSpecPivotBytes * 1000) == CaseWhenStrategy)
     // and the routed plan produces the canonical answer
     val df = randomFrame(11L, 300)
     assert(collectSorted(AutoStrategy(df, spec)) == collectSorted(CaseWhenStrategy(df, spec)))
