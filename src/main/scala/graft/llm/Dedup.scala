@@ -399,4 +399,32 @@ object Dedup {
         .filter(col("jaccard") >= lit(minJaccard)),
       all, banded)
   }
+
+  /** The ingest ACTION on top of [[incrementalPairs]]: the arriving
+    * shard with every near-duplicate of an EXISTING lower-id document
+    * (indexed corpus, or earlier within the shard itself) dropped —
+    * i.e. what a daily pipeline actually appends to the corpus, plus
+    * the contract that appending `signatureIndex(kept)` to the index
+    * keeps the whole cycle incremental. A shard document is dropped
+    * iff some pair names it as the higher id (`id_a < id_b` by
+    * construction, matching the keep-smallest convention of [[exact]]
+    * and [[nearDupClusters]]); the filter is one left-anti join of the
+    * shard against the (tiny) dropped-id set.
+    *
+    * EAGER: returns a persisted handle (caching contract above);
+    * `unpersist()` when done.
+    */
+  def ingestFilter(
+      index: DataFrame, shard: DataFrame,
+      idCol: String, textCol: String,
+      bands: Int = 6, rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5,
+      maxBucketSize: Int = 64): DataFrame = {
+    val pairs = incrementalPairs(index, shard, idCol, textCol,
+      bands, rowsPerBand, minJaccard, maxBucketSize)
+    scoped(
+      shard.join(pairs.select(col("id_b").as(idCol)).distinct(),
+        Seq(idCol), "left_anti"),
+      pairs)
+  }
 }

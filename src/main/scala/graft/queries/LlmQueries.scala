@@ -149,6 +149,26 @@ object LlmQueries {
     l -> s"len(list_filter(w, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))"
   }
 
+  /** Shared CTE chain of the incremental-dedup oracles: the full
+    * from-scratch LSH pipeline over ALL documents, candidates
+    * restricted to pairs touching the `doc_id % 10 = 0` shard,
+    * hash-set Jaccard as `j(id_a, id_b, jac)` (mirrors
+    * Dedup.incrementalPairs, which rescores from the stored hash sets).
+    */
+  private val incrementalPairCtes: String =
+    s"""t AS ($toksCte),
+       |s AS (SELECT doc_id, $shingles3 AS sh FROM t),
+       |hh AS (SELECT doc_id, list_transform(sh, x -> ${hashFoldSql("x")}) AS hs FROM s),
+       |b0 AS (SELECT doc_id, unnest(${bandsSql("hs", 6, 2)}) AS band FROM hh),
+       |b AS (SELECT * FROM b0 WHERE band IN
+       |  (SELECT band FROM b0 GROUP BY band HAVING count(*) <= 64)),
+       |c AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b FROM b a
+       |  JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
+       |   AND (a.doc_id % 10 = 0 OR b2.doc_id % 10 = 0) GROUP BY 1, 2),
+       |j AS (SELECT id_a, id_b, ${jaccardSql("ha.hs", "hb.hs")} AS jac
+       |  FROM c JOIN hh ha ON ha.doc_id = c.id_a
+       |  JOIN hh hb ON hb.doc_id = c.id_b)""".stripMargin
+
   /** Multi-table-LSH recall@3 vs brute force over `emb` (vec_id < 50 as
     * queries), with the ≥0.8 average-recall FLOOR enforced engine-side:
     * `raise_error` on violation, so a recall regression fails the gate
@@ -327,20 +347,29 @@ object LlmQueries {
           .select(col("id_a"), col("id_b"),
             round(col("jaccard") + lit(1e-6), 4).as("jaccard"))
       },
-      Some(s"""WITH t AS ($toksCte),
-              |s AS (SELECT doc_id, $shingles3 AS sh FROM t),
-              |hh AS (SELECT doc_id, list_transform(sh, x -> ${hashFoldSql("x")}) AS hs FROM s),
-              |b0 AS (SELECT doc_id, unnest(${bandsSql("hs", 6, 2)}) AS band FROM hh),
-              |b AS (SELECT * FROM b0 WHERE band IN
-              |  (SELECT band FROM b0 GROUP BY band HAVING count(*) <= 64)),
-              |c AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b FROM b a
-              |  JOIN b b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
-              |   AND (a.doc_id % 10 = 0 OR b2.doc_id % 10 = 0) GROUP BY 1, 2),
-              |j AS (SELECT id_a, id_b, ${jaccardSql("ha.hs", "hb.hs")} AS jac
-              |  FROM c JOIN hh ha ON ha.doc_id = c.id_a
-              |  JOIN hh hb ON hb.doc_id = c.id_b)
+      Some(s"""WITH $incrementalPairCtes
               |SELECT id_a, id_b, round(jac + 0.000001, 4) AS jaccard
               |FROM j WHERE jac >= 0.5""".stripMargin)),
+
+    // The ingest ACTION on the same machinery: the arriving shard with
+    // near-dups of any existing lower-id document dropped — what a
+    // daily pipeline appends to the corpus. A shard doc is dropped iff
+    // some pair names it as the higher id (keep-smallest convention).
+    QueryDef("llm_ingest_filter",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        val idxDir = s"target/tmp/sig_index_${math.abs(dir.hashCode)}_ingest"
+        Dedup.signatureIndex(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+          .write.mode("overwrite").parquet(idxDir)
+        Dedup.ingestFilter(
+          s.read.parquet(idxDir), docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text")
+          .select(col("doc_id"), col("lang"))
+      },
+      Some(s"""WITH $incrementalPairCtes
+              |SELECT doc_id, lang FROM documents
+              |WHERE doc_id % 10 = 0
+              | AND doc_id NOT IN (SELECT id_b FROM j WHERE jac >= 0.5)""".stripMargin)),
 
     // Fuzzy decontamination: flag corpus docs sharing ANY 8-token
     // shingle with the eval set (the n-gram-overlap check real

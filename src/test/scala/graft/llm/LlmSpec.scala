@@ -65,7 +65,26 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(norm(incremental).exists { case (a, b, _) => (a, b) == ((0L, 1L)) })
     // no corpus×corpus pair leaks into the increment
     assert(!norm(incremental).exists { case (a, b, _) => a % 2 == 0 && b % 2 == 0 })
-    incremental.unpersist(); scratch.unpersist()
+    // THE plan property that makes the operator incremental: corpus
+    // documents enter the plan ONLY through the parquet index relation —
+    // every text-shingling branch descends from the shard filter
+    // (doc_id % 2 = 1); no corpus-side (doc_id % 2 = 0) branch exists
+    // anywhere, so corpus text is never re-read or re-tokenized. (The
+    // analyzed plan retains the pre-cache tree; the shard's shingle
+    // subtree legitimately repeats across join/census branches.)
+    val analyzed = incremental.queryExecution.analyzed.toString
+    assert(analyzed.contains("] parquet"), s"index parquet read missing:\n$analyzed")
+    assert(analyzed.contains("= cast(1 as bigint))"), s"shard filter missing:\n$analyzed")
+    assert(!analyzed.contains("= cast(0 as bigint))"),
+      s"a corpus-side branch leaked into the incremental plan:\n$analyzed")
+
+    // the ingest ACTION: doc 1 (exact dup of indexed doc 0) is dropped,
+    // the genuinely-new shard docs survive
+    val kept = Dedup.ingestFilter(index, shard, "doc_id", "text", minJaccard = 0.4)
+    val keptIds = kept.collect().map(_.getLong(0)).toSet
+    assert(!keptIds.contains(1L), "dup of an indexed doc must be dropped")
+    assert(keptIds.contains(3L), "novel shard doc must survive")
+    kept.unpersist(); incremental.unpersist(); scratch.unpersist()
   }
 
   test("simhash: identical docs at hamming 0; near dups close; pairs found by banding") {
@@ -99,6 +118,10 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(rows(1L) == (("totally unrelated text with no overlap whatsoever at all", 0)))
     assert(rows(2L) == (("extra", 4)), rows(2L))
     assert(out.count() == 3, "every corpus document must come back")
+    // the hit detection rides the native codegen'd Bloom probe, no UDF
+    val analyzed = out.queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_bloom_might_contain"), analyzed)
+    assert(!analyzed.contains("UDF("), s"ScalaUDF leaked:\n$analyzed")
     out.unpersist()
   }
 
