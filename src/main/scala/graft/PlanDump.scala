@@ -46,6 +46,14 @@ object PlanDump {
       docs, "doc_id", "text", saltHotBuckets = true))
     dump("llm_tfidf_topk", llm.Corpus.tfidfTopK(docs, "doc_id", "text", 3))
     dump("llm_dup_spans", llm.Corpus.dupSpanStats(docs, "doc_id", "text"))
+    dump("llm_scrub_spans", llm.Decontamination.scrubSpans(
+      docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text"))
+    val idxDir = "/root/repo/target/tmp/plandump_sig_index"
+    llm.Dedup.signatureIndex(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      .write.mode("overwrite").parquet(idxDir)
+    dump("llm_incremental_dedup", llm.Dedup.incrementalPairs(
+      spark.read.parquet(idxDir), docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text"))
     spark.stop()
   }
 }
