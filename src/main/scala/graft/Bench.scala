@@ -110,6 +110,14 @@ object Bench {
         counts("n_pairs_incremental") = inc.count()
         inc.unpersist()
       }
+      // the full ingest cycle: shard in, deduplicated shard out
+      rs("dedup_ingest_filter") = t {
+        val kept = graft.llm.Dedup.ingestFilter(
+          spark.read.parquet(idxPath), docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text")
+        counts("n_ingested") = kept.count()
+        kept.unpersist()
+      }
       spark.catalog.clearCache()
 
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
