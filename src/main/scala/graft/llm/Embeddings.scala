@@ -143,6 +143,39 @@ object Embeddings {
       seed: Long = DefaultSeed): Column =
     concat(lit(s"$table:"), projBucket(vec, dim, bits, table, seed))
 
+  /** Nearest-centroid assignment — the IVF-TRAINING / cluster-curation
+    * primitive: each corpus vector goes to its highest-cosine centroid,
+    * ties to the smallest centroid id. The output (vector → cluster,
+    * similarity) is what cluster-balanced sampling, per-cluster caps
+    * and learned-IVF inverted lists consume; iterate mean-per-cluster →
+    * reassign for Lloyd's k-means.
+    *
+    * Scale shape: the (small) centroid frame is BROADCAST against the
+    * corpus scan, and the per-vector argmax is ONE aggregation of the
+    * k×corpus scored rows — `max(struct(sim, -centroid_id))` collapses
+    * map-side, so the exchange moves one row per vector, and the corpus
+    * itself never shuffles. Norms are hoisted once per side (1 dot per
+    * (vector, centroid) pair).
+    */
+  def assignClusters(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val c = centroids.select(col(idCol).as("centroid_id"),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+    val best = corpus
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("__vn"))
+      .crossJoin(broadcast(c))
+      .select(col(idCol),
+        struct(
+          cosineHoisted(col(vecCol), col("__cv"), col("__vn"), col("__cn")).as("sim"),
+          (lit(0L) - col("centroid_id")).as("nid")).as("__s"))
+      .groupBy(col(idCol))
+      .agg(max(col("__s")).as("m"))
+    best.select(col(idCol),
+      (lit(0L) - col("m.nid")).as("cluster_id"),
+      col("m.sim").as("sim"))
+  }
+
   /** Approximate top-k: IVF-style probe of the query's own projection
     * bucket (inverted lists keyed by [[projBucket]]; probe=1). Each query
     * scores only its bucket's candidates — the corpus-side work drops by

@@ -1173,6 +1173,32 @@ object LlmQueries {
       Some(mtRecallSql("read_parquet('/root/testdata/sf0.1/embeddings.parquet')"))),
 
     // Multimodal-adjacent: array-typed column stats per label.
+    // Nearest-centroid assignment (IVF training / cluster curation):
+    // vectors 0..7 of the table serve as deterministic centroids; every
+    // vector is assigned to its highest-cosine centroid, ties to the
+    // smallest id. Spark's map-side max(struct(sim, -id)) and the
+    // oracle's row_number argmax express the same decision; the cosines
+    // are the shared sequential fold, so sims are bit-identical.
+    QueryDef("llm_emb_assign",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        Embeddings.assignClusters(emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding")
+          .select(col("vec_id"), col("cluster_id"),
+            round(col("sim") + lit(1e-6), 4).as("sim"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+              |  FROM embeddings WHERE vec_id < 8),
+              |s AS (SELECT e.vec_id, c.centroid_id,
+              |   ${cosSql("e.embedding", "c.cv")} AS sim
+              |  FROM embeddings e, c),
+              |r AS (SELECT vec_id, centroid_id, sim, row_number() OVER
+              |   (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rnk
+              |  FROM s)
+              |SELECT vec_id, CAST(centroid_id AS BIGINT) AS cluster_id,
+              | round(sim + 0.000001, 4) AS sim
+              |FROM r WHERE rnk = 1""".stripMargin)),
+
     QueryDef("llm_emb_stats",
       (s, dir) => QueryDef.table(s, dir, "embeddings")
         .select(col("label"), Embeddings.norm(col("embedding")).as("nrm"))

@@ -513,6 +513,37 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, f"multi-table recall@3 floor violated: $recall%.3f")
   }
 
+  test("nearest-centroid assignment: centroids map to themselves, argmax is exact") {
+    import org.apache.spark.sql.functions.col
+    val rng = new java.util.SplittableRandom(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(16)(rng.nextDouble().toFloat * 2 - 1))).toDF("vec_id", "embedding")
+    val out = Embeddings.assignClusters(vecs, vecs.filter(col("vec_id") < 4),
+      "vec_id", "embedding")
+    val rows = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows.size == 40, "every vector gets exactly one assignment")
+    for (i <- 0L until 4L) {
+      // self-cosine is 1 ± an ulp (dot/(sqrt·sqrt) rounding) — the
+      // assignment itself must still be exact
+      assert(rows(i)._1 == i, s"centroid $i must assign to itself")
+      assert(math.abs(rows(i)._2 - 1.0) < 1e-12, rows(i))
+    }
+    assert(rows.values.forall { case (c, s) => c >= 0 && c < 4 && s <= 1.0 + 1e-9 })
+    // argmax agrees with a brute-force recompute
+    val cents = vecs.filter(col("vec_id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) = x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val all = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    for ((id, v) <- all) {
+      val want = cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .toSeq.sortBy { case (cid, s) => (-s, cid) }.head._1
+      assert(rows(id)._1 == want, s"vector $id assigned to ${rows(id)._1}, brute force says $want")
+    }
+  }
+
   test("tfidf ranks a document-specific term above corpus-wide terms") {
     val docs = Seq(
       (0L, "apple apple common filler"),
