@@ -176,6 +176,25 @@ object Embeddings {
       col("m.sim").as("sim"))
   }
 
+  /** The Lloyd UPDATE step paired with [[assignClusters]]: per-cluster
+    * component means in long form `(cluster_id, pos, mean)` — explode
+    * each assigned vector into (component, value) rows and average per
+    * (cluster, component). Long form keeps the shuffle key small and
+    * the output engine-comparable; pivot back to `array` with
+    * `collect_list` over a position sort when feeding the next
+    * [[assignClusters]] round. Scale shape: one explode (dim× row
+    * inflation, map-local) into one partially-aggregated groupBy —
+    * state is clusters × dim cells, independent of corpus size.
+    */
+  def centroidUpdate(
+      assigned: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol), col(vecCol))
+      .join(assigned.select(col(idCol), col("cluster_id")), Seq(idCol))
+      .select(col("cluster_id"), posexplode(d(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(avg(col("v")).as("mean"))
+
   /** Approximate top-k: IVF-style probe of the query's own projection
     * bucket (inverted lists keyed by [[projBucket]]; probe=1). Each query
     * scores only its bucket's candidates — the corpus-side work drops by

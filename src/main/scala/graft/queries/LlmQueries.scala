@@ -1199,6 +1199,35 @@ object LlmQueries {
               | round(sim + 0.000001, 4) AS sim
               |FROM r WHERE rnk = 1""".stripMargin)),
 
+    // The Lloyd UPDATE step on top of the assignment — together they
+    // make k-means iterable: per-cluster component means in long form
+    // (small shuffle key, engine-comparable output). The avg is the
+    // one order-dependent double in the pair; the shared +1e-6 round
+    // convention absorbs the cross-engine summation-order ulps.
+    QueryDef("llm_emb_kmeans_step",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        val assigned = Embeddings.assignClusters(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding")
+        Embeddings.centroidUpdate(assigned, emb, "vec_id", "embedding")
+          .select(col("cluster_id"), col("pos"),
+            round(col("mean") + lit(1e-6), 4).as("mean"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+              |  FROM embeddings WHERE vec_id < 8),
+              |s AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+              |   ${cosSql("e.embedding", "c.cv")} AS sim
+              |  FROM embeddings e, c),
+              |r AS (SELECT vec_id, embedding, centroid_id, row_number() OVER
+              |   (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rnk
+              |  FROM s),
+              |a AS (SELECT vec_id, embedding, centroid_id AS cluster_id
+              |  FROM r WHERE rnk = 1)
+              |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+              | CAST(i - 1 AS INT) AS pos,
+              | round(avg(embedding[i]::DOUBLE) + 0.000001, 4) AS mean
+              |FROM a, range(1, 65) t(i) GROUP BY 1, 2""".stripMargin)),
+
     QueryDef("llm_emb_stats",
       (s, dir) => QueryDef.table(s, dir, "embeddings")
         .select(col("label"), Embeddings.norm(col("embedding")).as("nrm"))

@@ -544,6 +544,25 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("centroid update: means move toward assigned members, k-means iterates") {
+    import org.apache.spark.sql.functions.col
+    // two tight planted clusters around orthogonal axes
+    val rng = new java.util.SplittableRandom(11)
+    def near(axis: Int, i: Long) = (0 until 8).map { j =>
+      (if (j == axis) 1.0f else 0.0f) + (rng.nextDouble().toFloat - 0.5f) * 0.1f
+    }
+    val vecs = ((0L until 10L).map(i => (i, near(0, i))) ++
+      (10L until 20L).map(i => (i, near(4, i)))).toDF("vec_id", "embedding")
+    val assigned = Embeddings.assignClusters(vecs,
+      vecs.filter(col("vec_id") === 0L || col("vec_id") === 10L), "vec_id", "embedding")
+    val means = Embeddings.centroidUpdate(assigned, vecs, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(means.size == 16, "2 clusters x 8 components")
+    // cluster 0's dominant component is axis 0; cluster 10's is axis 4
+    assert(means((0L, 0)) > 0.9 && means((0L, 4)) < 0.1, means((0L, 0)))
+    assert(means((10L, 4)) > 0.9 && means((10L, 0)) < 0.1, means((10L, 4)))
+  }
+
   test("tfidf ranks a document-specific term above corpus-wide terms") {
     val docs = Seq(
       (0L, "apple apple common filler"),
