@@ -75,8 +75,23 @@ object AutoStrategy extends FeatureStrategy {
     else if (inputBytes > WideSpecPivotBytes) PivotRollupStrategy
     else AggregatorStrategy
 
+  /** Size estimate for routing: 0 ("unknown, stay conservative") for
+    * streaming inputs — `optimizedPlan` would throw the batch-only
+    * check at plan-construction time — and for stat-less sources
+    * (RDD-backed frames, some connectors), whose estimate is the
+    * `defaultSizeInBytes` Long.MaxValue sentinel, not a measurement.
+    * Unknown size routes like small: the aggregator, the previous
+    * behavior of this optimizer.
+    */
+  private def inputEstimate(df: DataFrame): BigInt =
+    if (df.isStreaming) BigInt(0)
+    else {
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est >= BigInt(Long.MaxValue)) BigInt(0) else est
+    }
+
   def apply(df: DataFrame, spec: FeatureSpec): DataFrame =
-    choose(spec, df.queryExecution.optimizedPlan.stats.sizeInBytes)(df, spec)
+    choose(spec, inputEstimate(df))(df, spec)
 }
 
 /** Single-pass conditional aggregation: `agg_k(CASE WHEN cond THEN x END)`

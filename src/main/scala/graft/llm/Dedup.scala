@@ -361,7 +361,11 @@ object Dedup {
     * band keys equal from-scratch band keys; the mega-bucket census is
     * taken over index ∪ shard bands, which IS the union corpus census.
     * Rescoring is Jaccard over the stored hash sets (see
-    * [[signatureIndex]] for the collision fine print).
+    * [[signatureIndex]] for the collision fine print). CONTRACT: shard
+    * ids must be disjoint from index ids — a duplicated id matches both
+    * its copies in the rescoring joins and inflates pair rows
+    * ([[ingestFilter]] enforces this with an up-front anti-join; call
+    * sites composing manually should do the same on replayed input).
     *
     * EAGER: runs a Spark job and returns a persisted handle (caching
     * contract above); `unpersist()` the result when done.
@@ -411,6 +415,13 @@ object Dedup {
     * and [[nearDupClusters]]); the filter is one left-anti join of the
     * shard against the (tiny) dropped-id set.
     *
+    * IDEMPOTENT under replay: shard documents whose ID already exists
+    * in the index are dropped up front (one anti-join on the id) —
+    * a crash-recovery re-run of an already-indexed shard ingests
+    * nothing instead of re-appending every document (a doc can never
+    * LSH-pair with its own indexed copy, since candidate pairs require
+    * `id_a < id_b`; the id guard is what makes the cycle exactly-once).
+    *
     * EAGER: returns a persisted handle (caching contract above);
     * `unpersist()` when done.
     */
@@ -420,10 +431,11 @@ object Dedup {
       bands: Int = 6, rowsPerBand: Int = 2,
       minJaccard: Double = 0.5,
       maxBucketSize: Int = 64): DataFrame = {
-    val pairs = incrementalPairs(index, shard, idCol, textCol,
+    val fresh = shard.join(index.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    val pairs = incrementalPairs(index, fresh, idCol, textCol,
       bands, rowsPerBand, minJaccard, maxBucketSize)
     scoped(
-      shard.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      fresh.join(pairs.select(col("id_b").as(idCol)).distinct(),
         Seq(idCol), "left_anti"),
       pairs)
   }

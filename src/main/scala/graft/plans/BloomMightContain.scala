@@ -43,11 +43,18 @@ case class BloomMightContain(child: Expression, sketchBytes: Array[Byte])
   // for otherwise-identical probes rebuilt from the same sketch.
   override def equals(other: Any): Boolean = other match {
     case b: BloomMightContain =>
-      b.child == child && java.util.Arrays.equals(b.sketchBytes, sketchBytes)
+      // hash first: equals is called from planning-time map lookups, and
+      // a full Arrays.equals over a multi-MB sketch should only run when
+      // the O(1) cached hashes already agree
+      b.child == child && b.hashCode == hashCode &&
+        java.util.Arrays.equals(b.sketchBytes, sketchBytes)
     case _ => false
   }
-  override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(sketchBytes)
+  // Catalyst calls hashCode repeatedly during rule batches and
+  // canonicalization — cache the O(n) array hash once per instance
+  @transient private lazy val sketchHash: Int =
+    java.util.Arrays.hashCode(sketchBytes)
+  override def hashCode(): Int = 31 * child.hashCode() + sketchHash
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -81,15 +88,24 @@ object BloomMightContain {
     * reference object shares one deserialized `BloomFilter` per distinct
     * sketch instead of paying `readFrom` on a multi-MB payload per task.
     * Hashing the bytes is ~GB/s; `readFrom` copies and re-allocates the
-    * whole bit array. Distinct sketches per JVM are few (one per
-    * decontamination run), so the map stays tiny.
+    * whole bit array. Values are SOFT references: a long-lived executor
+    * running many distinct decontamination sketches doesn't pin
+    * N × sketch-size of heap forever — the GC reclaims idle filters
+    * under pressure and the next probe re-deserializes.
     */
-  private val filters =
-    new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
+  private val filters = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.SoftReference[BloomFilter]]()
 
   private[plans] def cachedFilter(bytes: Array[Byte]): BloomFilter = {
     val digest = java.util.Base64.getEncoder.encodeToString(
       java.security.MessageDigest.getInstance("SHA-256").digest(bytes))
-    filters.computeIfAbsent(digest, _ => BloomFilter.readFrom(bytes))
+    val ref = filters.get(digest)
+    val cached = if (ref == null) null else ref.get()
+    if (cached != null) cached
+    else {
+      val fresh = BloomFilter.readFrom(bytes)
+      filters.put(digest, new java.lang.ref.SoftReference(fresh))
+      fresh
+    }
   }
 }

@@ -1172,7 +1172,6 @@ object LlmQueries {
         s.read.parquet("/root/testdata/sf0.1/embeddings.parquet")),
       Some(mtRecallSql("read_parquet('/root/testdata/sf0.1/embeddings.parquet')"))),
 
-    // Multimodal-adjacent: array-typed column stats per label.
     // Nearest-centroid assignment (IVF training / cluster curation):
     // vectors 0..7 of the table serve as deterministic centroids; every
     // vector is assigned to its highest-cosine centroid, ties to the
@@ -1228,6 +1227,7 @@ object LlmQueries {
               | round(avg(embedding[i]::DOUBLE) + 0.000001, 4) AS mean
               |FROM a, range(1, 65) t(i) GROUP BY 1, 2""".stripMargin)),
 
+    // Multimodal-adjacent: array-typed column stats per label.
     QueryDef("llm_emb_stats",
       (s, dir) => QueryDef.table(s, dir, "embeddings")
         .select(col("label"), Embeddings.norm(col("embedding")).as("nrm"))

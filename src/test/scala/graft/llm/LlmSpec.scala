@@ -84,7 +84,17 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     val keptIds = kept.collect().map(_.getLong(0)).toSet
     assert(!keptIds.contains(1L), "dup of an indexed doc must be dropped")
     assert(keptIds.contains(3L), "novel shard doc must survive")
-    kept.unpersist(); incremental.unpersist(); scratch.unpersist()
+
+    // crash-recovery REPLAY: re-ingesting a shard whose ids are already
+    // in the index must ingest nothing (idempotence via the id guard —
+    // a doc can't LSH-pair with its own indexed copy)
+    val fullIdxDir = java.nio.file.Files.createTempDirectory("sig_index_replay").toString
+    Dedup.signatureIndex(fixture, "doc_id", "text")
+      .write.mode("overwrite").parquet(fullIdxDir)
+    val replay = Dedup.ingestFilter(
+      spark.read.parquet(fullIdxDir), shard, "doc_id", "text", minJaccard = 0.4)
+    assert(replay.count() == 0, "replayed shard must not re-ingest")
+    replay.unpersist(); kept.unpersist(); incremental.unpersist(); scratch.unpersist()
   }
 
   test("simhash: identical docs at hamming 0; near dups close; pairs found by banding") {
