@@ -1202,7 +1202,11 @@ object LlmQueries {
     // make k-means iterable: per-cluster component means in long form
     // (small shuffle key, engine-comparable output). The avg is the
     // one order-dependent double in the pair; the shared +1e-6 round
-    // convention absorbs the cross-engine summation-order ulps.
+    // convention absorbs the cross-engine summation-order ulps, and
+    // the trailing +0.0 normalizes IEEE -0.0 to +0.0 on both engines
+    // (component means sit near zero on random embeddings, and the
+    // engines rounded a tiny negative to differently-SIGNED zeros —
+    // numerically equal, hash-distinct).
     QueryDef("llm_emb_kmeans_step",
       (s, dir) => {
         val emb = QueryDef.table(s, dir, "embeddings")
@@ -1210,7 +1214,7 @@ object LlmQueries {
           "vec_id", "embedding")
         Embeddings.centroidUpdate(assigned, emb, "vec_id", "embedding")
           .select(col("cluster_id"), col("pos"),
-            round(col("mean") + lit(1e-6), 4).as("mean"))
+            (round(col("mean") + lit(1e-6), 4) + lit(0.0)).as("mean"))
       },
       Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
               |  FROM embeddings WHERE vec_id < 8),
@@ -1224,7 +1228,7 @@ object LlmQueries {
               |  FROM r WHERE rnk = 1)
               |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
               | CAST(i - 1 AS INT) AS pos,
-              | round(avg(embedding[i]::DOUBLE) + 0.000001, 4) AS mean
+              | round(avg(embedding[i]::DOUBLE) + 0.000001, 4) + 0.0 AS mean
               |FROM a, range(1, 65) t(i) GROUP BY 1, 2""".stripMargin)),
 
     // Multimodal-adjacent: array-typed column stats per label.
