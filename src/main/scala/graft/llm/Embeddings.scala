@@ -195,6 +195,71 @@ object Embeddings {
       .groupBy(col("cluster_id"), col("pos"))
       .agg(avg(col("v")).as("mean"))
 
+  /** Pivot [[centroidUpdate]]'s long form `(cluster_id, pos, mean)` back
+    * to the array form [[assignClusters]] consumes: one row per
+    * centroid, components ordered by `pos`. `array_sort` over
+    * `(pos, mean)` structs orders by `pos` first (struct field order),
+    * so the rebuilt vector is positional regardless of shuffle order.
+    * Callers quantize the means first (`round(mean + 1e-6, 4) + 0.0`,
+    * the repo's rounding convention) when the centroids must be
+    * byte-equal across engines — the handoff that makes a multi-round
+    * Lloyd loop oracle-replayable: each iteration's input centroids are
+    * the ROUNDED previous means, so cross-engine summation-order ulps
+    * never compound across iterations.
+    */
+  def centroidsFromMeans(means: DataFrame, idCol: String, vecCol: String): DataFrame =
+    means.groupBy(col("cluster_id").as(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean")))),
+        x => x.getField("mean")).as(vecCol))
+
+  /** Learned-IVF approximate top-k: corpus vectors live in the inverted
+    * list of their nearest centroid ([[assignClusters]] — at production
+    * scale this assignment is the persisted index, built once per
+    * codebook); each query probes its `nprobe` highest-cosine cells and
+    * scores only those lists. Candidate cost is ~nprobe/k-cells of the
+    * corpus per query — the IVF recall/cost dial — and unlike the
+    * hyperplane buckets of [[lshTopK]], the cells ADAPT to the corpus
+    * distribution (centroids from [[centroidUpdate]] rounds), which is
+    * what keeps lists balanced when the data is clustered rather than
+    * isotropic.
+    *
+    * Scale shape: centroids and the (small) probe set are BROADCAST;
+    * the corpus is scanned once for assignment (one map-side-combined
+    * agg row per vector) and once for scoring, and never shuffled by
+    * the join. Per-query result is bounded by the window top-k.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int, k: Int): DataFrame = {
+    val lists = assignClusters(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("cluster_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
+      .join(lists, Seq("neighbor_id"))
+    val cent = centroids.select(col(idCol).as("centroid_id"),
+      col(vecCol).as("__ce"), norm(col(vecCol)).as("__cen"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("__qv"), col("__qn"), col("centroid_id"),
+        cosineHoisted(col("__qv"), col("__ce"), col("__qn"), col("__cen")).as("csim"))
+      .withColumn("prnk", row_number().over(wp))
+      .filter(col("prnk") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        col("centroid_id").as("cluster_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineHoisted(col("__qv"), col("__cv"), col("__qn"), col("__cn")).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Approximate top-k: IVF-style probe of the query's own projection
     * bucket (inverted lists keyed by [[projBucket]]; probe=1). Each query
     * scores only its bucket's candidates — the corpus-side work drops by

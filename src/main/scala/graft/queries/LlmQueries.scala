@@ -239,6 +239,46 @@ object LlmQueries {
        |FROM r""".stripMargin
   }
 
+  /** One QUANTIZED Lloyd round as a DataFrame of array-form centroids:
+    * assign to the seed centroids (vec_id < 8), per-cluster component
+    * means rounded to 4 decimals (+1e-6 nudge, signed-zero normalized) —
+    * the cross-engine handoff that makes iterated k-means and the
+    * learned-IVF index oracle-replayable (see
+    * Embeddings.centroidsFromMeans). Shared by llm_emb_kmeans and
+    * llm_emb_recall_ivf.
+    */
+  private def lloydCentroids(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val means = Embeddings.centroidUpdate(
+        Embeddings.assignClusters(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding"),
+        emb, "vec_id", "embedding")
+      .select(col("cluster_id"), col("pos"),
+        (round(col("mean") + lit(1e-6), 4) + lit(0.0)).as("mean"))
+    Embeddings.centroidsFromMeans(means, "vec_id", "embedding")
+  }
+
+  /** DuckDB CTE chain twin of [[lloydCentroids]]: seed assignment →
+    * quantized component means → array-form centroids `c2(centroid_id,
+    * cv)`. The `round(... + 1e-6, 4) + 0.0` matches the Spark side
+    * literally (the +0.0 normalizes IEEE -0.0, see llm_emb_kmeans_step).
+    */
+  private val lloydCtes: String =
+    s"""c AS (SELECT vec_id AS centroid_id, embedding AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |s1 AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+       |   ${cosSql("e.embedding", "c.cv")} AS sim
+       |  FROM embeddings e, c),
+       |r1 AS (SELECT vec_id, embedding, centroid_id, row_number() OVER
+       |   (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rnk FROM s1),
+       |a1 AS (SELECT vec_id, embedding, centroid_id AS cluster_id
+       |  FROM r1 WHERE rnk = 1),
+       |m AS (SELECT cluster_id, CAST(i - 1 AS INT) AS pos,
+       |   round(avg(embedding[i]::DOUBLE) + 0.000001, 4) + 0.0 AS mean
+       |  FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
+       |c2 AS (SELECT cluster_id AS centroid_id, list(mean ORDER BY pos) AS cv
+       |  FROM m GROUP BY 1)""".stripMargin
+
   // ---- the queries ----
 
   val defs: Seq[QueryDef] = Seq(
@@ -1230,6 +1270,108 @@ object LlmQueries {
               | CAST(i - 1 AS INT) AS pos,
               | round(avg(embedding[i]::DOUBLE) + 0.000001, 4) + 0.0 AS mean
               |FROM a, range(1, 65) t(i) GROUP BY 1, 2""".stripMargin)),
+
+    // TWO Lloyd iterations composed end-to-end — assign to the seed
+    // centroids, recompute means, REASSIGN to the updated centroids —
+    // proving the k-means loop actually iterates (llm_emb_assign and
+    // llm_emb_kmeans_step each pin one half). The iteration-1 means are
+    // quantized (round+1e-6, signed-zero normalized) before the handoff,
+    // so both engines feed byte-equal centroids into iteration 2 and the
+    // final sims are bit-identical folds — summation-order ulps cannot
+    // compound across rounds.
+    QueryDef("llm_emb_kmeans",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        Embeddings.assignClusters(emb, lloydCentroids(emb), "vec_id", "embedding")
+          .select(col("vec_id"), col("cluster_id"),
+            round(col("sim") + lit(1e-6), 4).as("sim"))
+      },
+      Some(s"""WITH $lloydCtes,
+              |s2 AS (SELECT e.vec_id, c2.centroid_id,
+              |   ${cosSql("e.embedding", "c2.cv")} AS sim
+              |  FROM embeddings e, c2),
+              |r2 AS (SELECT vec_id, centroid_id, sim, row_number() OVER
+              |   (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rnk FROM s2)
+              |SELECT vec_id, CAST(centroid_id AS BIGINT) AS cluster_id,
+              | round(sim + 0.000001, 4) AS sim
+              |FROM r2 WHERE rnk = 1""".stripMargin)),
+
+    // Learned-IVF ANN recall gate: corpus vectors in the inverted list
+    // of their nearest LEARNED centroid (one quantized Lloyd round over
+    // 8 seeds), queries probe their nprobe=3 best cells — recall@3 vs
+    // the brute-force ground truth, measured per query. Unlike the
+    // hyperplane gates (llm_emb_recall*), the cells here adapt to the
+    // corpus distribution; candidate cost is ~3/8 of the corpus per
+    // query. The oracle replays codebook, lists, probes and both top-k
+    // sets.
+    QueryDef("llm_emb_recall_ivf",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 50)
+        val k = 3
+        val bf = Embeddings.bruteForceTopK(emb, q, "vec_id", "embedding", k)
+          .select(col("query_id"), col("neighbor_id"))
+        val iv = Embeddings.ivfTopK(emb, q, lloydCentroids(emb),
+            "vec_id", "embedding", nprobe = 3, k = k)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = iv.join(bf, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
+        val perQuery = q.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("__h"), lit(0L)).as("n_hits"),
+            round(coalesce(col("__h"), lit(0L)) / lit(k.toDouble) + lit(1e-6), 4).as("recall"))
+        // ≥0.6 average-recall floor, enforced engine-side like the
+        // multi-table gate: measured 0.72 at sf0.01 (same hard regime —
+        // true top-3 at median cosine 0.34 — so the floor has margin).
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        perQuery
+          .withColumn("__avg", avg(col("recall")).over(wAll))
+          .withColumn("floor_ok",
+            when(col("__avg") >= 0.6, lit(1)).otherwise(raise_error(concat(
+              lit("ANN learned-IVF recall floor 0.6 violated: avg="),
+              col("__avg").cast("string")))).cast("int"))
+          .drop("__avg")
+      },
+      Some(s"""WITH $lloydCtes,
+              |q AS (SELECT vec_id AS query_id, embedding AS qe
+              |  FROM embeddings WHERE vec_id < 50),
+              |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+              |   ${cosSql("q.qe", "e.embedding")} AS sim
+              |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+              |bf AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+              |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+              |  FROM s) WHERE rnk <= 3),
+              |s2 AS (SELECT e.vec_id, e.embedding, c2.centroid_id,
+              |   ${cosSql("e.embedding", "c2.cv")} AS sim
+              |  FROM embeddings e, c2),
+              |a2 AS (SELECT vec_id, embedding, centroid_id AS cluster_id
+              |  FROM (SELECT vec_id, embedding, centroid_id, row_number() OVER
+              |     (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rnk FROM s2)
+              |  WHERE rnk = 1),
+              |pr AS (SELECT query_id, centroid_id AS cluster_id
+              |  FROM (SELECT q.query_id, c2.centroid_id, row_number() OVER
+              |     (PARTITION BY q.query_id ORDER BY ${cosSql("q.qe", "c2.cv")} DESC,
+              |      c2.centroid_id) AS prnk
+              |    FROM q, c2)
+              |  WHERE prnk <= 3),
+              |j AS (SELECT pr.query_id, a2.vec_id AS neighbor_id,
+              |   ${cosSql("qe.qe", "a2.embedding")} AS sim
+              |  FROM pr JOIN a2 ON pr.cluster_id = a2.cluster_id
+              |   JOIN q qe ON qe.query_id = pr.query_id
+              |  WHERE a2.vec_id != pr.query_id),
+              |ls AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+              |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+              |  FROM j) WHERE rnk <= 3),
+              |h AS (SELECT ls.query_id, count(*) AS n FROM ls
+              |  JOIN bf ON ls.query_id = bf.query_id AND ls.neighbor_id = bf.neighbor_id
+              |  GROUP BY 1),
+              |r AS (SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+              |  round(coalesce(h.n, 0) / 3.0 + 0.000001, 4) AS recall
+              | FROM q LEFT JOIN h ON q.query_id = h.query_id)
+              |SELECT query_id, n_hits, recall,
+              | CAST(CASE WHEN avg(recall) OVER () >= 0.6 THEN 1 ELSE 0 END AS INT) AS floor_ok
+              |FROM r""".stripMargin)),
 
     // Multimodal-adjacent: array-typed column stats per label.
     QueryDef("llm_emb_stats",
