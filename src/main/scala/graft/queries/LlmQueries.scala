@@ -239,6 +239,36 @@ object LlmQueries {
        |FROM r""".stripMargin
   }
 
+  /** DuckDB twin of the streaming index screen
+    * (StreamingQueries.stream_ingest_screen → DocsStream.indexScreen):
+    * batch-replay of the stateless stream-static plan — index = docs
+    * with `doc_id % 10 != 0` (banded, mega-bucket guard on the INDEX
+    * side only), shard = the rest, candidates from the band equi-join,
+    * hash-set Jaccard rescoring, one verdict row per shard doc. Lives
+    * here because it shares the token/shingle/band/jaccard SQL mirrors.
+    */
+  private[queries] val streamScreenSql: String =
+    s"""WITH t AS ($toksCte),
+       |s AS (SELECT doc_id, $shingles3 AS sh FROM t),
+       |hh AS (SELECT doc_id, list_transform(sh, x -> ${hashFoldSql("x")}) AS hs FROM s),
+       |idx AS (SELECT doc_id, hs FROM hh WHERE doc_id % 10 != 0),
+       |shard AS (SELECT doc_id, hs FROM hh WHERE doc_id % 10 = 0),
+       |ib0 AS (SELECT doc_id, unnest(${bandsSql("hs", 6, 2)}) AS band FROM idx),
+       |ib AS (SELECT * FROM ib0 WHERE band IN
+       |  (SELECT band FROM ib0 GROUP BY band HAVING count(*) <= 64)),
+       |sb AS (SELECT doc_id, unnest(${bandsSql("hs", 6, 2)}) AS band FROM shard),
+       |c AS (SELECT DISTINCT sb.doc_id, ib.doc_id AS index_id
+       |  FROM sb JOIN ib ON sb.band = ib.band),
+       |j AS (SELECT c.doc_id, c.index_id, ${jaccardSql("sh2.hs", "ih.hs")} AS jac
+       |  FROM c JOIN shard sh2 ON sh2.doc_id = c.doc_id
+       |   JOIN idx ih ON ih.doc_id = c.index_id),
+       |m AS (SELECT doc_id, count(*) AS n, max(jac) AS mx
+       |  FROM j WHERE jac >= 0.5 GROUP BY 1)
+       |SELECT sh3.doc_id, CAST(coalesce(m.n, 0) AS BIGINT) AS n_index_dups,
+       | coalesce(m.n, 0) = 0 AS is_kept,
+       | round(coalesce(m.mx, 0) + 0.000001, 4) AS max_jaccard
+       |FROM shard sh3 LEFT JOIN m ON sh3.doc_id = m.doc_id""".stripMargin
+
   /** One QUANTIZED Lloyd round as a DataFrame of array-form centroids:
     * assign to the seed centroids (vec_id < 8), per-cluster component
     * means rounded to 4 decimals (+1e-6 nudge, signed-zero normalized) —

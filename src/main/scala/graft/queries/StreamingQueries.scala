@@ -122,6 +122,46 @@ object StreamingQueries {
     dst
   }
 
+  /** Stage the streaming-ingest-screen fixtures: the PERSISTED signature
+    * index (docs with `doc_id % 10 != 0`, written once as parquet — the
+    * "existing corpus" a daily pipeline keeps on disk) and the arriving
+    * shard (`doc_id % 10 == 0`) as 5 single-file chunks so
+    * `maxFilesPerTrigger=1` makes each its own micro-batch. Chunking is
+    * by doc id, not event time — the screen is STATELESS, so batch
+    * carve-up cannot affect results (that invariance is the point of the
+    * gate; see DocsStream.indexScreen).
+    */
+  private def stageDocsScreen(s: SparkSession, sfDir: String): (String, String) = synchronized {
+    val sf = Paths.get(sfDir).getFileName.toString
+    val idxDst = s"/root/repo/target/stream_src/$sf-screen-index"
+    val shardDst = s"/root/repo/target/stream_src/$sf-screen-shard"
+    val docs = QueryDef.table(s, sfDir, "documents")
+    if (!new java.io.File(s"$idxDst/_STAGED").exists()) {
+      graft.llm.Dedup.signatureIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .write.mode("overwrite").parquet(idxDst)
+      Files.createFile(Paths.get(s"$idxDst/_STAGED"))
+    }
+    if (!new java.io.File(s"$shardDst/_STAGED").exists()) {
+      val dstDir = new java.io.File(shardDst)
+      if (dstDir.exists()) graft.Fs.deleteRecursively(dstDir)
+      Files.createDirectories(Paths.get(shardDst))
+      for (c <- 0 until 5) {
+        val tmp = s"$shardDst/__tmp"
+        docs.filter(col("doc_id") % 10 === 0 && expr("doc_id div 10") % 5 === c)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath,
+          new java.io.File(shardDst, f"chunk$c%02d.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        graft.Fs.deleteRecursively(new java.io.File(tmp))
+      }
+      Files.createFile(Paths.get(s"$shardDst/_STAGED"))
+    }
+    (idxDst, shardDst)
+  }
+
   /** Run a bounded streaming query to a memory sink and return its final
     * table. Trigger.AvailableNow processes every pending file in
     * micro-batches and stops — the batch-bounded execution of the same
@@ -300,6 +340,36 @@ object StreamingQueries {
       Some("""SELECT user_id, count(*) AS n_events,
              | round(sum(value) + 1e-6, 2) AS total_value
              |FROM events GROUP BY user_id""".stripMargin)),
+
+    // Streaming LLM ingest screening: documents STREAM in (5 micro-
+    // batches) and are screened against the persisted MinHash signature
+    // index — a pure STATELESS stream-static plan (band equi-join +
+    // hash-set Jaccard rescoring; no watermark, no state store), so the
+    // verdict per doc is batching-invariant and the batch oracle replays
+    // it exactly. The growing-index foreachBatch loop (whose semantics
+    // DO depend on batch boundaries) is pinned by DocsStreamSpec
+    // instead. Output: one verdict row per shard doc.
+    QueryDef("stream_ingest_screen",
+      (s, dir) => {
+        val (idxDir, shardDir) = stageDocsScreen(s, dir)
+        val index = s.read.parquet(idxDir)
+        val res = runBounded(s,
+          graft.streaming.DocsStream.indexScreen(
+            graft.streaming.DocsStream.readDocs(s, shardDir, maxFilesPerTrigger = Some(1)),
+            index, "doc_id", "text"),
+          "graft_stream_screen", OutputMode.Append())
+        val matched = res.dropDuplicates("id", "index_id")
+          .groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).as("__n"), max(col("jaccard")).as("__mx"))
+        QueryDef.table(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+          .join(matched, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("__n"), lit(0L)).as("n_index_dups"),
+            (coalesce(col("__n"), lit(0L)) === 0).as("is_kept"),
+            round(coalesce(col("__mx"), lit(0.0)) + lit(1e-6), 4).as("max_jaccard"))
+      },
+      Some(LlmQueries.streamScreenSql)),
 
     // MULTI-BATCH stream-stream interval join: one time-ordered file per
     // micro-batch; a click near a chunk boundary must survive in join
