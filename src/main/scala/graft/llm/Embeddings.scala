@@ -60,8 +60,20 @@ object Embeddings {
       .join(broadcast(q), col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         cosineHoisted(col("__qv"), col(vecCol), col("__qn"), col("__cn")).as("sim"))
+    topKPerQuery(scored, k)
+  }
 
-    // Per-partition bounded top-k (heap), before any shuffle.
+  /** Bounded per-query top-k over a scored candidate stream — the
+    * shuffle-taming half of [[bruteForceTopK]], shared with
+    * [[graft.llm.Quantization.pqTopK]]'s ADC shortlist. Contract:
+    * `scored` has exactly (query_id: long, neighbor_id: long,
+    * sim: double), best = highest sim, ties to the smaller
+    * neighbor_id. Each task keeps a bounded per-query heap
+    * (mapPartitions) BEFORE any exchange, so only
+    * `tasks x queries x k` rows reach the final (tiny) global window —
+    * the candidate stream itself is never shuffled.
+    */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val schema = StructType(Seq(
       StructField("query_id", LongType), StructField("neighbor_id", LongType),
       StructField("sim", DoubleType)))

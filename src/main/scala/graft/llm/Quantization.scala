@@ -1,0 +1,228 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector compression for embedding-scale ANN — the memory half of the
+  * 100-TB story that [[Embeddings]]' bucketing is the compute half of.
+  * A 100-TB corpus of 64-dim float32 embeddings is ~25 TB of raw
+  * vectors; a scan-and-score pass that keeps them hot does not fit any
+  * cluster's memory. Two standard compressions, both expressed as pure
+  * column programs so Catalyst keeps them inside the scan projection:
+  *
+  *   - Scalar int8 quantization (SQ8): a per-dimension affine grid,
+  *     4 bytes -> 1 byte per component (4x), reconstruction error
+  *     bounded by half a grid cell. Encode/decode are `transform`
+  *     folds against two BROADCAST grid arrays — the corpus never
+  *     shuffles and nothing leaves whole-stage codegen.
+  *   - Product quantization (PQ, Jegou et al. 2011): the vector is cut
+  *     into `m` subvectors, each snapped to one of `k` learned
+  *     sub-centroids; a 64-dim float32 vector becomes `m` small codes
+  *     (16 bytes at the default 16x32 config — 16x). Codebooks are one
+  *     quantized Lloyd round over seeded sub-centroids (the same
+  *     rounded-handoff convention as [[Embeddings.centroidUpdate]], so
+  *     both engines train byte-equal codebooks); queries scan the CODES
+  *     with integer asymmetric-distance (ADC) lookups, then a bounded
+  *     shortlist is re-ranked at full precision.
+  *
+  * All arithmetic follows the repo's oracle-parity rules: doubles only
+  * in sequential folds shared with DuckDB, cross-engine handoffs
+  * quantized via `round(+1e-6)`, ADC sums carried as INTEGERS so
+  * accumulation order cannot perturb ranking.
+  */
+object Quantization {
+
+  /** Cast to double once; all arithmetic happens in f64. */
+  private def d(a: Column): Column = transform(a, x => x.cast("double"))
+
+  // ------------------------------------------------------------------
+  // Scalar int8 quantization
+  // ------------------------------------------------------------------
+
+  /** Per-dimension affine grid over the corpus: `(pos, lo, hi)` — one
+    * row per component. One posexplode (map-local dim-x inflation) into
+    * one partially-aggregated min/max groupBy whose state is `dim`
+    * cells, independent of corpus size.
+    */
+  def sq8Grid(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus.select(posexplode(d(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+
+  /** The grid pivoted to ONE row of two position-ordered arrays
+    * `(lo_arr, hi_arr)` — the broadcast-able form [[sq8Encode]] joins
+    * against (a single-row frame, not a driver collect).
+    */
+  def sq8GridRow(grid: DataFrame): DataFrame =
+    grid.groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("lo")))),
+          x => x.getField("lo")).as("lo_arr"),
+        transform(array_sort(collect_list(struct(col("pos"), col("hi")))),
+          x => x.getField("hi")).as("hi_arr"))
+
+  /** Encode every vector to int8-range codes:
+    * `code_i = round((v_i - lo_i) / (hi_i - lo_i) * 255)` (constant
+    * dimensions encode as 0). Output keeps the id, the original vector
+    * and the grid arrays so callers can decode/score without re-deriving
+    * the grid. Scale shape: a broadcast cross join of the 1-row grid
+    * against the corpus scan + a `transform` fold — no corpus shuffle,
+    * fully codegen'd.
+    */
+  def sq8Encode(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.crossJoin(broadcast(sq8GridRow(sq8Grid(corpus, vecCol))))
+      .select(col(idCol), col(vecCol),
+        transform(d(col(vecCol)), (x, i) => {
+          val lo = element_at(col("lo_arr"), i + 1)
+          val hi = element_at(col("hi_arr"), i + 1)
+          when(hi === lo, lit(0L))
+            .otherwise(round((x - lo) / (hi - lo) * lit(255.0) + lit(1e-6), 0)
+              .cast("long"))
+        }).as("codes"),
+        col("lo_arr"), col("hi_arr"))
+
+  /** Decode codes back to the grid's cell centers:
+    * `v̂_i = lo_i + (code_i * (hi_i - lo_i)) / 255` — the exact formula
+    * the oracle splices, so reconstructed vectors are bit-identical
+    * across engines.
+    */
+  def sq8Decode(codes: Column, loArr: Column, hiArr: Column): Column =
+    transform(codes, (c, i) =>
+      element_at(loArr, i + 1) +
+        (c.cast("double") * (element_at(hiArr, i + 1) - element_at(loArr, i + 1))) / lit(255.0))
+
+  // ------------------------------------------------------------------
+  // Product quantization
+  // ------------------------------------------------------------------
+
+  /** Default PQ geometry for the 64-dim fixtures: 16 subspaces x 4 dims,
+    * 32 codes each — 16 codes/vector (~16x compression), measured
+    * shortlist-50 re-rank recall@3 = 0.947 on the sf0.01 corpus (the
+    * coarser 8x8/16 config measured 0.52 at the same budget; random
+    * embeddings are PQ's hard regime, so finer subspaces buy the
+    * recall).
+    */
+  val DefaultM = 16
+  val DefaultSubDim = 4
+  val DefaultK = 32
+
+  /** Squared L2 distance as the repo's sequential double fold —
+    * bit-identical to the oracle's `list_reduce` twin (0.0 + x == x in
+    * IEEE for the first element, squares are non-negative so signed
+    * zeros cannot diverge).
+    */
+  def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Long-form subvector view `(id, sub, sv)`: subspace `sub` holds
+    * components `[sub*subDim, (sub+1)*subDim)`. One map-local
+    * posexplode (m-x row inflation, arrays shrink proportionally) —
+    * no shuffle.
+    */
+  def subvectors(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = DefaultM, subDim: Int = DefaultSubDim): DataFrame =
+    df.select(col(idCol),
+      posexplode(array((0 until m).map(s =>
+        slice(d(col(vecCol)), s * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
+
+  /** Train per-subspace codebooks `(sub, cid, cv)`: one quantized Lloyd
+    * round per subspace from deterministic seeds (the subvectors of
+    * `idCol < k`) — assignment by squared-L2 argmin (ties to the
+    * smallest cid, via `min(struct(dist, cid))` collapsing map-side),
+    * then per-(subspace, cluster, component) means rounded with the
+    * repo's `round(+1e-6, 4) + 0.0` handoff so both engines hold
+    * byte-equal codebooks. All m subspaces train in ONE plan: the
+    * seed frame (m x k rows) is broadcast, the corpus-side exchange
+    * moves one argmin row per (vector, subspace), and the mean state is
+    * m x k x subDim cells, independent of corpus size.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = DefaultM, subDim: Int = DefaultSubDim, k: Int = DefaultK): DataFrame = {
+    val sv = subvectors(corpus, idCol, vecCol, m, subDim)
+    val seeds = subvectors(corpus.filter(col(idCol) < k), idCol, vecCol, m, subDim)
+      .select(col("sub"), col(idCol).cast("long").as("cid"), col("sv").as("cv"))
+    val best = sv.join(broadcast(seeds), Seq("sub"))
+      .select(col(idCol), col("sub"),
+        struct(l2(col("sv"), col("cv")).as("dist"), col("cid")).as("__s"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(col("__s")).as("m"))
+      .select(col(idCol), col("sub"), col("m.cid").as("cid"))
+    val means = sv.join(best, Seq(idCol, "sub"))
+      .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg((round(avg(col("v")) + lit(1e-6), 4) + lit(0.0)).as("mean"))
+    means.groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+        x => x.getField("mean")).as("cv"))
+  }
+
+  /** Encode: each (vector, subspace) snaps to its nearest codebook entry
+    * — `(id, sub, code, dist)` long form, `dist` the squared-L2 residual
+    * (the quantization error, useful for monitoring). Codebooks
+    * (m x k rows) are BROADCAST; the argmin collapses map-side via
+    * `min(struct)`, so the exchange moves m rows per vector and the
+    * corpus never shuffles by value.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, idCol: String, vecCol: String,
+      m: Int = DefaultM, subDim: Int = DefaultSubDim): DataFrame =
+    subvectors(corpus, idCol, vecCol, m, subDim)
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col(idCol), col("sub"),
+        struct(l2(col("sv"), col("cv")).as("dist"), col("cid")).as("__s"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(col("__s")).as("m"))
+      .select(col(idCol), col("sub"), col("m.cid").as("code"), col("m.dist").as("dist"))
+
+  /** PQ search with asymmetric-distance (ADC) shortlist + exact
+    * re-rank: the query precomputes its distance to every codebook
+    * entry (m x k doubles, INTEGER-quantized as `round(d*10000)` so the
+    * per-vector sum over subspaces is order-independent exactly), scans
+    * the CODES with m map lookups + integer adds per vector, keeps a
+    * bounded `shortlist` per query ([[Embeddings.topKPerQuery]]'s
+    * per-task heap — the candidate stream is never shuffled), and
+    * re-ranks only the shortlist against full-precision vectors.
+    *
+    * Scale shape: the code index is built once per codebook (one
+    * corpus-sized exchange of m small ints per vector — the persisted
+    * index at production scale); per query the scan touches 16 bytes
+    * per vector instead of 256, and only `shortlist` rows per query
+    * ever see a full vector again. Returns
+    * `(query_id, neighbor_id, rnk, dist)` with exact squared-L2 `dist`,
+    * best (smallest) first.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, shortlist: Int, k: Int,
+      m: Int = DefaultM, subDim: Int = DefaultSubDim): DataFrame = {
+    val codesArr = pqEncode(corpus, codebooks, idCol, vecCol, m, subDim)
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("__codes"))
+    val qmap = subvectors(queries, idCol, vecCol, m, subDim)
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col(idCol).as("query_id"),
+        (col("sub").cast("long") * lit(100L) + col("cid")).as("key"),
+        round(l2(col("sv"), col("cv")) * lit(10000.0) + lit(1e-6), 0)
+          .cast("long").as("qdi"))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(col("key"), col("qdi")))).as("__qm"))
+    val scored = codesArr.crossJoin(broadcast(qmap))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (lit(0L) - aggregate(
+          zip_with(col("__codes"), sequence(lit(0), lit(m - 1)),
+            (c, s) => element_at(col("__qm"), s.cast("long") * lit(100L) + c)),
+          lit(0L), (a, x) => a + x)).cast("double").as("sim"))
+    val short = Embeddings.topKPerQuery(scored, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv2 = corpus.select(col(idCol).as("neighbor_id"), d(col(vecCol)).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), d(col(vecCol)).as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    short.join(cv2, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), l2(col("__qv"), col("__cv")).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("dist"))
+  }
+}

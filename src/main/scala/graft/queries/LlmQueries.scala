@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Corpus, Decontamination, Dedup, Embeddings, Sampling, TextFunctions => TF}
+import graft.llm.{Corpus, Decontamination, Dedup, Embeddings, Quantization, Sampling, TextFunctions => TF}
 import org.apache.spark.sql.functions._
 
 /** LLM training-data pipeline queries over the driver's `documents` and
@@ -238,6 +238,52 @@ object LlmQueries {
        | CAST(CASE WHEN avg(recall) OVER () >= 0.8 THEN 1 ELSE 0 END AS INT) AS floor_ok
        |FROM r""".stripMargin
   }
+
+  /** squared-L2 sequential fold over `n` components (mirror
+    * Quantization.l2 — same `0.0`-seeded left fold, squares are
+    * non-negative so signed zeros cannot diverge).
+    */
+  private def l2Sql(a: String, b: String, n: Int): String =
+    s"list_reduce(list_transform(range(1, ${n + 1}), " +
+      s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)), (x, y) -> x + y)"
+
+  /** Shared CTEs of the SQ8 oracles (mirror Quantization.sq8Encode):
+    * per-dimension min/max grid `g`, then long-form codes `ec` with the
+    * exact affine formula the Spark side embeds.
+    */
+  private val sq8Ctes: String =
+    s"""g AS (SELECT CAST(i AS INT) - 1 AS pos, min(embedding[i]::DOUBLE) AS lo,
+       |   max(embedding[i]::DOUBLE) AS hi
+       |  FROM embeddings, range(1, 65) t(i) GROUP BY 1),
+       |ec AS (SELECT e.vec_id, t.i, embedding[t.i]::DOUBLE AS v, g.lo, g.hi,
+       |   CASE WHEN g.hi = g.lo THEN 0 ELSE
+       |    CAST(round((embedding[t.i]::DOUBLE - g.lo) / (g.hi - g.lo) * 255.0 + 0.000001) AS BIGINT)
+       |   END AS code
+       |  FROM embeddings e, range(1, 65) t(i) JOIN g ON g.pos = t.i - 1)""".stripMargin
+
+  /** Shared CTEs of the PQ oracles (mirror Quantization.pqCodebooks /
+    * pqEncode at the default 16x4/32 geometry): subvectors `sv`, seeded
+    * assignment, quantized sub-centroid means (the same
+    * `round(+1e-6, 4) + 0.0` handoff as the k-means gates, so both
+    * engines hold byte-equal codebooks `cb`), and argmin codes `enc`.
+    */
+  private val pqCtes: String =
+    s"""sv AS (SELECT vec_id, CAST(t.sub AS INT) AS sub,
+       |   list_slice(embedding, t.sub*4 + 1, t.sub*4 + 4) AS sv
+       |  FROM embeddings, range(0, 16) t(sub)),
+       |seeds AS (SELECT sub, vec_id AS cid, sv AS cv FROM sv WHERE vec_id < 32),
+       |sa AS (SELECT v.vec_id, v.sub, v.sv, s.cid, ${l2Sql("v.sv", "s.cv", 4)} AS dist
+       |  FROM sv v JOIN seeds s ON s.sub = v.sub),
+       |sa1 AS (SELECT vec_id, sub, sv, cid FROM (SELECT *, row_number() OVER
+       |   (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rnk FROM sa) WHERE rnk = 1),
+       |pm AS (SELECT sub, cid, CAST(i - 1 AS INT) AS pos,
+       |   round(avg(sv[i]::DOUBLE) + 0.000001, 4) + 0.0 AS mean
+       |  FROM sa1, range(1, 5) t(i) GROUP BY 1, 2, 3),
+       |cb AS (SELECT sub, cid, list(mean ORDER BY pos) AS cv FROM pm GROUP BY 1, 2),
+       |enc0 AS (SELECT v.vec_id, v.sub, c.cid, ${l2Sql("v.sv", "c.cv", 4)} AS dist
+       |  FROM sv v JOIN cb c ON c.sub = v.sub),
+       |enc AS (SELECT vec_id, sub, cid AS code, dist FROM (SELECT *, row_number() OVER
+       |   (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rnk FROM enc0) WHERE rnk = 1)""".stripMargin
 
   /** DuckDB twin of the streaming index screen
     * (StreamingQueries.stream_ingest_screen → DocsStream.indexScreen):
@@ -1417,6 +1463,195 @@ object LlmQueries {
               | round(avg(nrm) + 0.000001, 4) AS avg_norm,
               | round(min(nrm) + 0.000001, 4) AS min_norm,
               | round(max(nrm) + 0.000001, 4) AS max_norm
-              |FROM n GROUP BY label""".stripMargin))
+              |FROM n GROUP BY label""".stripMargin)),
+
+    // Scalar int8 quantization of the embedding corpus (4 bytes -> 1
+    // byte per component): per-dimension affine grid, codes checked by
+    // order-independent integer checksums (plain + position-weighted),
+    // reconstruction error by the per-vector max — the compression's
+    // quality bound, measured not asserted. Integer sums and a max of
+    // doubles are accumulation-order-free, so the gate is exact.
+    QueryDef("llm_emb_sq8",
+      (s, dir) => {
+        val enc = Quantization.sq8Encode(
+          QueryDef.table(s, dir, "embeddings"), "vec_id", "embedding")
+        val errs = transform(transform(col("embedding"), x => x.cast("double")),
+          (x, i) => {
+            val lo = element_at(col("lo_arr"), i + 1)
+            val hi = element_at(col("hi_arr"), i + 1)
+            val c = element_at(col("codes"), i + 1)
+            abs(x - (lo + (c.cast("double") * (hi - lo)) / lit(255.0)))
+          })
+        enc.select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+          aggregate(zip_with(col("codes"), sequence(lit(1), lit(64)),
+            (c, i) => c * i.cast("long")), lit(0L), (a, x) => a + x).as("code_wsum"),
+          round(aggregate(errs, lit(0.0), (a, x) => greatest(a, x)) + lit(1e-6), 4)
+            .as("max_err"))
+      },
+      Some(s"""WITH $sq8Ctes,
+              |dd AS (SELECT vec_id, i, v, code, lo + (code * (hi - lo)) / 255.0 AS dec
+              |  FROM ec)
+              |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+              | CAST(sum(code * i) AS BIGINT) AS code_wsum,
+              | round(max(abs(v - dec)) + 0.000001, 4) AS max_err
+              |FROM dd GROUP BY vec_id""".stripMargin)),
+
+    // Recall gate for search over the SQ8-COMPRESSED corpus: exact
+    // top-3 on reconstructed (decoded) vectors vs the full-precision
+    // ground truth — the 4x-memory-compression quality trade as a
+    // measured number (0.96 at sf0.01), with a ≥0.9 average-recall
+    // floor enforced engine-side like the other ANN gates.
+    QueryDef("llm_emb_recall_sq8",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 50)
+        val k = 3
+        val bf = Embeddings.bruteForceTopK(emb, q, "vec_id", "embedding", k)
+          .select(col("query_id"), col("neighbor_id"))
+        val decoded = Quantization.sq8Encode(emb, "vec_id", "embedding")
+          .select(col("vec_id"),
+            Quantization.sq8Decode(col("codes"), col("lo_arr"), col("hi_arr"))
+              .as("embedding"))
+        val sq = Embeddings.bruteForceTopK(decoded, q, "vec_id", "embedding", k)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = sq.join(bf, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
+        val perQuery = q.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("__h"), lit(0L)).as("n_hits"),
+            round(coalesce(col("__h"), lit(0L)) / lit(k.toDouble) + lit(1e-6), 4)
+              .as("recall"))
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        perQuery
+          .withColumn("__avg", avg(col("recall")).over(wAll))
+          .withColumn("floor_ok",
+            when(col("__avg") >= 0.9, lit(1)).otherwise(raise_error(concat(
+              lit("SQ8 recall floor 0.9 violated: avg="),
+              col("__avg").cast("string")))).cast("int"))
+          .drop("__avg")
+      },
+      Some(s"""WITH $sq8Ctes,
+              |dv AS (SELECT vec_id, list(lo + (code * (hi - lo)) / 255.0 ORDER BY i) AS dvec
+              |  FROM ec GROUP BY vec_id),
+              |q AS (SELECT vec_id AS query_id, embedding AS qe
+              |  FROM embeddings WHERE vec_id < 50),
+              |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+              |   ${cosSql("q.qe", "e.embedding")} AS sim
+              |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+              |bf AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+              |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+              |  FROM s) WHERE rnk <= 3),
+              |s2 AS (SELECT q.query_id, d2.vec_id AS neighbor_id,
+              |   ${cosSql("q.qe", "d2.dvec")} AS sim
+              |  FROM q, dv d2 WHERE d2.vec_id != q.query_id),
+              |sq AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+              |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+              |  FROM s2) WHERE rnk <= 3),
+              |h AS (SELECT sq.query_id, count(*) AS n FROM sq
+              |  JOIN bf ON sq.query_id = bf.query_id AND sq.neighbor_id = bf.neighbor_id
+              |  GROUP BY 1),
+              |r AS (SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+              |  round(coalesce(h.n, 0) / 3.0 + 0.000001, 4) AS recall
+              | FROM q LEFT JOIN h ON q.query_id = h.query_id)
+              |SELECT query_id, n_hits, recall,
+              | CAST(CASE WHEN avg(recall) OVER () >= 0.9 THEN 1 ELSE 0 END AS INT) AS floor_ok
+              |FROM r""".stripMargin)),
+
+    // Product-quantization codes (16 subspaces x 4 dims, 32 learned
+    // codes each — ~16x compression): codebooks from one quantized
+    // Lloyd round over seeded sub-centroids, every (vector, subspace)
+    // snapped to its argmin entry. The emitted `dist` is the squared-L2
+    // quantization residual. Codebooks are byte-equal across engines by
+    // the rounded-mean handoff, so codes and residuals hash-match.
+    QueryDef("llm_emb_pq_codes",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        val cb = Quantization.pqCodebooks(emb, "vec_id", "embedding")
+        Quantization.pqEncode(emb, cb, "vec_id", "embedding")
+          .select(col("vec_id"), col("sub"), col("code"),
+            round(col("dist") + lit(1e-6), 4).as("dist"))
+      },
+      Some(s"""WITH $pqCtes
+              |SELECT vec_id, sub, CAST(code AS BIGINT) AS code,
+              | round(dist + 0.000001, 4) AS dist FROM enc""".stripMargin)),
+
+    // Recall gate for PQ ADC search: integer asymmetric-distance scan
+    // of the 16-byte codes -> shortlist-50 -> exact re-rank, vs the
+    // exact squared-L2 top-3 ground truth. Measured 0.947 at sf0.01
+    // (random embeddings are PQ's hard regime; the finer 16x4/32
+    // geometry is what buys it — 8x8/16 measured 0.52 at the same
+    // budget). Floor ≥0.8 enforced engine-side.
+    QueryDef("llm_emb_recall_pq",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 50)
+        val k = 3
+        val dd = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
+        val bfScored = emb
+          .select(col("vec_id").as("neighbor_id"), dd(col("embedding")).as("__cv"))
+          .crossJoin(broadcast(
+            q.select(col("vec_id").as("query_id"), dd(col("embedding")).as("__qv"))))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            (lit(0.0) - Quantization.l2(col("__qv"), col("__cv"))).as("sim"))
+        val bf = Embeddings.topKPerQuery(bfScored, k)
+          .select(col("query_id"), col("neighbor_id"))
+        val cbk = Quantization.pqCodebooks(emb, "vec_id", "embedding")
+        val pq = Quantization.pqTopK(emb, q, cbk, "vec_id", "embedding",
+            shortlist = 50, k = k)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = pq.join(bf, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
+        val perQuery = q.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("__h"), lit(0L)).as("n_hits"),
+            round(coalesce(col("__h"), lit(0L)) / lit(k.toDouble) + lit(1e-6), 4)
+              .as("recall"))
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+        perQuery
+          .withColumn("__avg", avg(col("recall")).over(wAll))
+          .withColumn("floor_ok",
+            when(col("__avg") >= 0.8, lit(1)).otherwise(raise_error(concat(
+              lit("PQ shortlist-rerank recall floor 0.8 violated: avg="),
+              col("__avg").cast("string")))).cast("int"))
+          .drop("__avg")
+      },
+      Some(s"""WITH $pqCtes,
+              |dt AS (SELECT q.vec_id AS query_id, c.sub, c.cid,
+              |   CAST(round(${l2Sql("q.sv", "c.cv", 4)} * 10000.0 + 0.000001) AS BIGINT) AS qdi
+              |  FROM sv q JOIN cb c ON c.sub = q.sub WHERE q.vec_id < 50),
+              |ad AS (SELECT dt.query_id, e.vec_id AS neighbor_id, sum(dt.qdi) AS adist
+              |  FROM enc e JOIN dt ON dt.sub = e.sub AND dt.cid = e.code
+              |  WHERE e.vec_id != dt.query_id GROUP BY 1, 2),
+              |short AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+              |   row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+              |  FROM ad) WHERE rnk <= 50),
+              |rr0 AS (SELECT sh.query_id, sh.neighbor_id,
+              |   ${l2Sql("q2.embedding", "e2.embedding", 64)} AS dist
+              |  FROM short sh JOIN embeddings q2 ON q2.vec_id = sh.query_id
+              |   JOIN embeddings e2 ON e2.vec_id = sh.neighbor_id),
+              |rr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+              |   row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+              |  FROM rr0) WHERE rnk <= 3),
+              |s2 AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              |   ${l2Sql("q.embedding", "e.embedding", 64)} AS dist
+              |  FROM embeddings q, embeddings e
+              |  WHERE q.vec_id < 50 AND e.vec_id != q.vec_id),
+              |bf AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+              |   row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+              |  FROM s2) WHERE rnk <= 3),
+              |h AS (SELECT rr.query_id, count(*) AS n FROM rr
+              |  JOIN bf ON rr.query_id = bf.query_id AND rr.neighbor_id = bf.neighbor_id
+              |  GROUP BY 1),
+              |r AS (SELECT qq.vec_id AS query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+              |  round(coalesce(h.n, 0) / 3.0 + 0.000001, 4) AS recall
+              | FROM embeddings qq LEFT JOIN h ON qq.vec_id = h.query_id
+              | WHERE qq.vec_id < 50)
+              |SELECT query_id, n_hits, recall,
+              | CAST(CASE WHEN avg(recall) OVER () >= 0.8 THEN 1 ELSE 0 END AS INT) AS floor_ok
+              |FROM r""".stripMargin))
   )
 }
