@@ -439,4 +439,95 @@ object Dedup {
         Seq(idCol), "left_anti"),
       pairs)
   }
+
+  /** Persist a [[signatureIndex]] as TWO bucket-partitioned catalog
+    * tables — the layout that makes the daily ingest join
+    * EXCHANGE-FREE on the (huge) index side:
+    *
+    *   - `<name>_bands(id, band)` bucketed+sorted by `band`: the LSH
+    *     inverted list the shard equi-joins against, pre-exploded so
+    *     ingest never touches `sig`.
+    *   - `<name>_sigs(id, hs, sig)` bucketed by `id`: the rescore side.
+    *
+    * At corpus scale the index dwarfs every shard by orders of
+    * magnitude; [[incrementalPairs]] already avoids re-READING corpus
+    * text, but still re-SHUFFLES the banded index (census + band join)
+    * on every ingest. Bucketing moves that shuffle to index-build time,
+    * once: the band join streams each index bucket in place (only the
+    * small shard side exchanges) and the band census aggregates without
+    * any exchange at all (the scan's hash partitioning on `band`
+    * already satisfies the aggregation's distribution).
+    * [[DedupIndexSpec]] pins both plan shapes.
+    */
+  def writeBandedIndex(index: DataFrame, name: String, buckets: Int = 32,
+      bands: Int = 6, rowsPerBand: Int = 2): Unit = {
+    index.select(col("id"),
+        explode(TextFunctions.lshBandKeysFromSig(col("sig"), bands, rowsPerBand))
+          .as("band"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band").sortBy("band")
+      .saveAsTable(s"${name}_bands")
+    index.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "id")
+      .saveAsTable(s"${name}_sigs")
+  }
+
+  /** [[incrementalPairs]] against a [[writeBandedIndex]] layout —
+    * identical result set (the gate reuses the from-scratch oracle),
+    * restructured so the index side never shuffles:
+    *
+    *   - the union band census becomes index census (exchange-free,
+    *     bucket-aligned) + shard census, full-outer-summed; the
+    *     mega-bucket KEEP semi-join inverts into an anti-join against
+    *     the (tiny, broadcast) DROP set — same set algebra, but the
+    *     broadcast side is now the bounded one.
+    *   - shard-touching candidates split into shard x index (band
+    *     equi-join against the bucketed inverted list, ids normalized
+    *     with least/greatest) and shard x shard (self-join of the small
+    *     banded shard) — together exactly the `a.__new OR b.__new`
+    *     pairs of [[incrementalPairs]], without materializing a union
+    *     that would erase the bucketing.
+    *
+    * Same id-disjointness CONTRACT and eager/caching contract as
+    * [[incrementalPairs]].
+    */
+  def incrementalPairsBucketed(
+      spark: org.apache.spark.sql.SparkSession, name: String, shard: DataFrame,
+      idCol: String, textCol: String,
+      bands: Int = 6, rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5,
+      maxBucketSize: Int = 64): DataFrame = {
+    val idxBands = spark.table(s"${name}_bands")
+    val idxSigs = spark.table(s"${name}_sigs")
+    val shardSig = signatureIndex(shard, idCol, textCol, bands, rowsPerBand).persist()
+    val shardBands = shardSig.select(col("id"),
+      explode(TextFunctions.lshBandKeysFromSig(col("sig"), bands, rowsPerBand))
+        .as("band")).persist()
+    val censusI = idxBands.groupBy(col("band")).agg(count(lit(1)).as("__ni"))
+    val censusS = shardBands.groupBy(col("band")).agg(count(lit(1)).as("__ns"))
+    val drop = censusI.join(censusS, Seq("band"), "full_outer")
+      .select(col("band"),
+        (coalesce(col("__ni"), lit(0L)) + coalesce(col("__ns"), lit(0L))).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(col("band"))
+    val si = shardBands.join(broadcast(drop), Seq("band"), "left_anti")
+    val ii = idxBands.join(broadcast(drop), Seq("band"), "left_anti")
+    val candsIdx = si.as("s").join(ii.as("i"), col("s.band") === col("i.band"))
+      .select(least(col("s.id"), col("i.id")).as("id_a"),
+        greatest(col("s.id"), col("i.id")).as("id_b"))
+    val candsShard = si.as("a").join(si.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cands = candsIdx.union(candsShard).distinct()
+    val allHs = idxSigs.select(col("id"), col("hs"))
+      .union(shardSig.select(col("id"), col("hs")))
+    scoped(
+      cands
+        .join(allHs.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(allHs.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          TextFunctions.jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
+        .filter(col("jaccard") >= lit(minJaccard)),
+      shardSig, shardBands)
+  }
 }

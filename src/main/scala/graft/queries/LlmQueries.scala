@@ -467,6 +467,31 @@ object LlmQueries {
               |SELECT id_a, id_b, round(jac + 0.000001, 4) AS jaccard
               |FROM j WHERE jac >= 0.5""".stripMargin)),
 
+    // The SAME incremental dedup against the BUCKETED index layout
+    // (writeBandedIndex): band inverted list bucketed on `band`,
+    // signatures bucketed on `id`. Result-identical to
+    // llm_dedup_incremental (same from-scratch oracle); what changes is
+    // the 100-TB plan — the index side of the ingest join and the band
+    // census read bucket-aligned with ZERO exchanges (DedupIndexSpec
+    // pins both), so each daily ingest shuffles only the shard.
+    QueryDef("llm_dedup_inc_bucketed",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_dedup")
+        val name = s"graft_dedup.sig_idx_${math.abs(dir.hashCode)}"
+        Dedup.writeBandedIndex(
+          Dedup.signatureIndex(docs.filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text"),
+          name)
+        Dedup.incrementalPairsBucketed(s, name,
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard") + lit(1e-6), 4).as("jaccard"))
+      },
+      Some(s"""WITH $incrementalPairCtes
+              |SELECT id_a, id_b, round(jac + 0.000001, 4) AS jaccard
+              |FROM j WHERE jac >= 0.5""".stripMargin)),
+
     // The ingest ACTION on the same machinery: the arriving shard with
     // near-dups of any existing lower-id document dropped — what a
     // daily pipeline appends to the corpus. A shard doc is dropped iff
