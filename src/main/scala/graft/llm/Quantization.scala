@@ -225,4 +225,69 @@ object Quantization {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("dist"))
   }
+
+  /** IVF-PQ — the production composition: a coarse L2 quantizer routes
+    * each query to its `nprobe` nearest cells, the ADC integer scan
+    * touches only THOSE cells' codes, and the bounded shortlist
+    * re-ranks at full precision. Training reuses [[pqCodebooks]] at
+    * degenerate geometry: the cell codebook IS `pqCodebooks(m = 1,
+    * subDim = dim, k = cells)` (one "subspace" spanning the whole
+    * vector — one quantized L2 Lloyd round), and the inverted lists are
+    * `pqEncode` against it.
+    *
+    * Scale shape: cells and query tables are BROADCAST; the per-query
+    * scan cost drops from n x m code lookups to ~(nprobe/cells) x n —
+    * the IVF dial — on top of PQ's 16x memory compression. The corpus
+    * is touched once for list assignment, once for codes (both
+    * persisted index structures at production scale), and only
+    * `shortlist` rows per query ever see a full vector.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      cellBook: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int, shortlist: Int, k: Int,
+      m: Int = DefaultM, subDim: Int = DefaultSubDim, dim: Int = 64): DataFrame = {
+    val lists = pqEncode(corpus, cellBook, idCol, vecCol, m = 1, subDim = dim)
+      .select(col(idCol), col("code").as("cell"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d").asc, col("cell").asc)
+    val probes = subvectors(queries, idCol, vecCol, m = 1, subDim = dim)
+      .join(broadcast(cellBook), Seq("sub"))
+      .select(col(idCol).as("query_id"), col("cid").as("cell"),
+        l2(col("sv"), col("cv")).as("__d"))
+      .withColumn("__p", row_number().over(wp))
+      .filter(col("__p") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val codesArr = pqEncode(corpus, codebooks, idCol, vecCol, m, subDim)
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("__codes"))
+    val qmap = subvectors(queries, idCol, vecCol, m, subDim)
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col(idCol).as("query_id"),
+        (col("sub").cast("long") * lit(100L) + col("cid")).as("key"),
+        round(l2(col("sv"), col("cv")) * lit(10000.0) + lit(1e-6), 0)
+          .cast("long").as("qdi"))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(col("key"), col("qdi")))).as("__qm"))
+    val scored = lists.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .join(codesArr, Seq(idCol))
+      .join(broadcast(qmap), Seq("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (lit(0L) - aggregate(
+          zip_with(col("__codes"), sequence(lit(0), lit(m - 1)),
+            (c, s) => element_at(col("__qm"), s.cast("long") * lit(100L) + c)),
+          lit(0L), (a, x) => a + x)).cast("double").as("sim"))
+    val short = Embeddings.topKPerQuery(scored, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv2 = corpus.select(col(idCol).as("neighbor_id"), d(col(vecCol)).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), d(col(vecCol)).as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    short.join(cv2, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), l2(col("__qv"), col("__cv")).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("dist"))
+  }
 }

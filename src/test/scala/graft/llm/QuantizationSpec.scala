@@ -94,6 +94,19 @@ class QuantizationSpec extends AnyFunSuite with SparkSpec {
       "shortlist=corpus => ADC only orders the shortlist; exact re-rank decides")
   }
 
+  test("ivfpq: probing every cell reduces to plain PQ search") {
+    val q = emb.filter(col("vec_id") < 5)
+    val cb = Quantization.pqCodebooks(emb, "vec_id", "embedding")
+    val cells = Quantization.pqCodebooks(emb, "vec_id", "embedding",
+      m = 1, subDim = 64, k = 4)
+    val all = Quantization.ivfPqTopK(emb, q, cells, cb, "vec_id", "embedding",
+      nprobe = 4, shortlist = 30, k = 3)
+    val plain = Quantization.pqTopK(emb, q, cb, "vec_id", "embedding",
+      shortlist = 30, k = 3)
+    assert(all.exceptAll(plain).isEmpty && plain.exceptAll(all).isEmpty,
+      "nprobe = cells => the IVF routing filters nothing")
+  }
+
   test("pq: ADC shortlist ranking is reproducible and bounded per query") {
     val q = emb.filter(col("vec_id") < 5)
     val cb = Quantization.pqCodebooks(emb, "vec_id", "embedding")
