@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhash)
     ext.injectFunction(GraftExtensions.bloomMightContain)
     ext.injectFunction(GraftExtensions.dot)
+    ext.injectFunction(GraftExtensions.pqAdc)
   }
 }
 
@@ -73,9 +74,24 @@ object GraftExtensions {
     }
   )
 
+  val pqAdc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_pq_adc"),
+    new ExpressionInfo(classOf[PqAdcSum].getName, "graft_pq_adc"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3, "graft_pq_adc(codes, qt, stride)")
+      val stride = args(2) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"stride must be an integer literal, got $other")
+      }
+      PqAdcSum(args(0), args(1), stride)
+    }
+  )
+
   /** Every function [[GraftExtensions.apply]] injects. */
   val allFunctionNames: Seq[String] =
-    Seq("graft_minhash_sig", "graft_simhash", "graft_bloom_might_contain", "graft_dot")
+    Seq("graft_minhash_sig", "graft_simhash", "graft_bloom_might_contain",
+      "graft_dot", "graft_pq_adc")
 
   /** Per-session answer cache: dispatch sites construct many Columns per
     * plan (`Embeddings.dot` builds bits×dot calls for one projection),

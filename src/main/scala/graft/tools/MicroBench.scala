@@ -64,6 +64,40 @@ object MicroBench {
     val e = time("bloom_native")(
       strs.filter(call_function("graft_bloom_might_contain", col("g"), lit(bytes))))
     println(f"""{"case":"bloom_speedup","x":${u / e}%.2f}""")
+
+    // PQ ADC scan vs full-precision query scan: the per-corpus-row work
+    // of ANN scoring — one 64-dim double dot against a constant query
+    // vs 16 integer codebook lookups (Quantization.pqTopK's scan body),
+    // both over cached columns. The memory story (16x smaller scan
+    // input) is structural; this measures the CPU side of the trade.
+    val qArr = typedLit((0 until dim).map(i =>
+      ((i * 2654435761L % 2000) / 1000.0) - 1.0))
+    val full = time("pq_query_dot_scan")(
+      df.select(call_function("graft_dot", qArr, col("a")).as("d"))
+        .filter(col("d") > 1e9))
+    val m = 16
+    val codes = spark.range(0, 200000).select(col("id"),
+        transform(sequence(lit(0), lit(m - 1)),
+          s => pmod(hash(col("id") * lit(31) + s), lit(32)).cast("long")).as("codes"))
+      .persist()
+    codes.count()
+    // dense-array distance table (map element_at is a linear scan —
+    // measured 3.9x SLOWER than the dot it replaces; the array probe is
+    // O(1), same layout Quantization.queryDistTable builds)
+    val qt = typedLit((0 until m).flatMap(s => (0 until 100).map(c =>
+      if (c < 32) (s * 2654435761L + c * 40503L) % 20000L else 0L)))
+    val adc = time("pq_adc_hof")(
+      codes.select(aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, s) => element_at(qt,
+              (s.cast("long") * lit(100L) + c + lit(1L)).cast("int"))),
+          lit(0L), (a, x) => a + x).as("d"))
+        .filter(col("d") > lit(10000000000L)))
+    val adcNat = time("pq_adc_native")(
+      codes.select(call_function("graft_pq_adc", col("codes"), qt, lit(100)).as("d"))
+        .filter(col("d") > lit(10000000000L)))
+    println(f"""{"case":"pq_adc_native_vs_hof","x":${adc / adcNat}%.2f}""")
+    println(f"""{"case":"pq_adc_native_vs_dot","x":${full / adcNat}%.2f}""")
     spark.stop()
   }
 }
