@@ -458,17 +458,25 @@ object Dedup {
     * any exchange at all (the scan's hash partitioning on `band`
     * already satisfies the aggregation's distribution).
     * [[DedupIndexSpec]] pins both plan shapes.
+    *
+    * Tables are EXTERNAL (explicit `path`), deliberately: a managed
+    * table whose warehouse directory survives a JVM restart while the
+    * in-memory catalog forgets it fails its next CREATE with
+    * LOCATION_ALREADY_EXISTS — external locations are allowed to
+    * exist, so rebuild-into-place works across sessions.
     */
-  def writeBandedIndex(index: DataFrame, name: String, buckets: Int = 32,
-      bands: Int = 6, rowsPerBand: Int = 2): Unit = {
+  def writeBandedIndex(index: DataFrame, name: String, pathRoot: String,
+      buckets: Int = 32, bands: Int = 6, rowsPerBand: Int = 2): Unit = {
     index.select(col("id"),
         explode(TextFunctions.lshBandKeysFromSig(col("sig"), bands, rowsPerBand))
           .as("band"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "band").sortBy("band")
+      .option("path", s"$pathRoot/bands")
       .saveAsTable(s"${name}_bands")
     index.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "id")
+      .option("path", s"$pathRoot/sigs")
       .saveAsTable(s"${name}_sigs")
   }
 

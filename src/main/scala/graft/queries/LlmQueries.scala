@@ -482,7 +482,7 @@ object LlmQueries {
         Dedup.writeBandedIndex(
           Dedup.signatureIndex(docs.filter(col("doc_id") % 10 =!= 0),
             "doc_id", "text"),
-          name)
+          name, s"target/tmp/sig_idx_bucketed_${math.abs(dir.hashCode)}")
         Dedup.incrementalPairsBucketed(s, name,
             docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
           .select(col("id_a"), col("id_b"),

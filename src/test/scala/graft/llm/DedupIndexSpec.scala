@@ -25,7 +25,7 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
     Dedup.writeBandedIndex(
       Dedup.signatureIndex(docs.filter(col("doc_id") % 10 =!= 0),
         "doc_id", "text"),
-      name, buckets = 8)
+      name, "/root/repo/target/dedup_index_spec", buckets = 8)
   }
 
   test("bucketed incremental pairs equal the union-based incremental pairs") {
