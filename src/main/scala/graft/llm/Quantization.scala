@@ -69,6 +69,14 @@ object Quantization {
     * the grid. Scale shape: a broadcast cross join of the 1-row grid
     * against the corpus scan + a `transform` fold — no corpus shuffle,
     * fully codegen'd.
+    *
+    * CAVEAT: materialize (persist / write / exchange) before probing
+    * `codes` element-wise or scoring it per candidate pair —
+    * projection collapse re-inlines the encode transform into every
+    * `element_at` reference, turning O(dim) per row into O(dim²) (and
+    * into O(dim²)·pairs inside a join; measured 30x on the sf0.1
+    * gates). The gates persist; a production index writes to parquet,
+    * which is the same barrier.
     */
   def sq8Encode(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
     corpus.crossJoin(broadcast(sq8GridRow(sq8Grid(corpus, vecCol))))
@@ -110,10 +118,26 @@ object Quantization {
   /** Squared L2 distance as the repo's sequential double fold —
     * bit-identical to the oracle's `list_reduce` twin (0.0 + x == x in
     * IEEE for the first element, squares are non-negative so signed
-    * zeros cannot diverge).
+    * zeros cannot diverge). Used by specs as the reference form; the
+    * SCORING paths below use [[l2Hoisted]] instead.
     */
   def l2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 via the inner-product identity
+    * `|a|² + |b|² - 2·a·b`, with both self-dots HOISTED to once per
+    * side of the join — the per-PAIR work drops from an interpreted
+    * difference-square fold to ONE native-kernel dot
+    * ([[Embeddings.dot]] → `graft_dot`), the same hoisting
+    * [[Embeddings]] applies to cosine. The direct fold measured ~10 µs
+    * per 4-dim subvector pair (higher-order functions are interpreted);
+    * at pq-encode volume (corpus × m × k pairs) that dominated the
+    * whole gate. Oracles splice the IDENTICAL identity formula, so
+    * engines still agree exactly; measured recalls are unchanged
+    * (0.947 / 0.787 at sf0.01).
+    */
+  private[llm] def l2Hoisted(a: Column, b: Column, aa: Column, bb: Column): Column =
+    aa + bb - lit(2.0) * Embeddings.dot(a, b)
 
   /** Long-form subvector view `(id, sub, sv)`: subspace `sub` holds
     * components `[sub*subDim, (sub+1)*subDim)`. One map-local
@@ -141,10 +165,14 @@ object Quantization {
       m: Int = DefaultM, subDim: Int = DefaultSubDim, k: Int = DefaultK): DataFrame = {
     val sv = subvectors(corpus, idCol, vecCol, m, subDim)
     val seeds = subvectors(corpus.filter(col(idCol) < k), idCol, vecCol, m, subDim)
-      .select(col("sub"), col(idCol).cast("long").as("cid"), col("sv").as("cv"))
-    val best = sv.join(broadcast(seeds), Seq("sub"))
+      .select(col("sub"), col(idCol).cast("long").as("cid"), col("sv").as("cv"),
+        Embeddings.dot(col("sv"), col("sv")).as("__cvv"))
+    val best = sv
+      .withColumn("__svv", Embeddings.dot(col("sv"), col("sv")))
+      .join(broadcast(seeds), Seq("sub"))
       .select(col(idCol), col("sub"),
-        struct(l2(col("sv"), col("cv")).as("dist"), col("cid")).as("__s"))
+        struct(l2Hoisted(col("sv"), col("cv"), col("__svv"), col("__cvv")).as("dist"),
+          col("cid")).as("__s"))
       .groupBy(col(idCol), col("sub"))
       .agg(min(col("__s")).as("m"))
       .select(col(idCol), col("sub"), col("m.cid").as("cid"))
@@ -167,9 +195,12 @@ object Quantization {
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, idCol: String, vecCol: String,
       m: Int = DefaultM, subDim: Int = DefaultSubDim): DataFrame =
     subvectors(corpus, idCol, vecCol, m, subDim)
-      .join(broadcast(codebooks), Seq("sub"))
+      .withColumn("__svv", Embeddings.dot(col("sv"), col("sv")))
+      .join(broadcast(codebooks
+        .withColumn("__cvv", Embeddings.dot(col("cv"), col("cv")))), Seq("sub"))
       .select(col(idCol), col("sub"),
-        struct(l2(col("sv"), col("cv")).as("dist"), col("cid")).as("__s"))
+        struct(l2Hoisted(col("sv"), col("cv"), col("__svv"), col("__cvv")).as("dist"),
+          col("cid")).as("__s"))
       .groupBy(col(idCol), col("sub"))
       .agg(min(col("__s")).as("m"))
       .select(col(idCol), col("sub"), col("m.cid").as("code"), col("m.dist").as("dist"))
@@ -187,10 +218,13 @@ object Quantization {
   private def queryDistTable(queries: DataFrame, codebooks: DataFrame,
       idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame =
     subvectors(queries, idCol, vecCol, m, subDim)
-      .join(broadcast(codebooks), Seq("sub"))
+      .withColumn("__svv", Embeddings.dot(col("sv"), col("sv")))
+      .join(broadcast(codebooks
+        .withColumn("__cvv", Embeddings.dot(col("cv"), col("cv")))), Seq("sub"))
       .select(col(idCol).as("query_id"),
         (col("sub").cast("long") * lit(100L) + col("cid")).as("key"),
-        round(l2(col("sv"), col("cv")) * lit(10000.0) + lit(1e-6), 0)
+        round(l2Hoisted(col("sv"), col("cv"), col("__svv"), col("__cvv"))
+            * lit(10000.0) + lit(1e-6), 0)
           .cast("long").as("qdi"))
       .groupBy(col("query_id"))
       .agg(map_from_entries(collect_list(struct(col("key"), col("qdi")))).as("__qm"))
@@ -248,12 +282,25 @@ object Quantization {
       .select(col("query_id"), col(idCol).as("neighbor_id"), adcSim(m))
     val short = Embeddings.topKPerQuery(scored, shortlist)
       .select(col("query_id"), col("neighbor_id"))
+    rerank(short, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Exact re-rank of a bounded per-query shortlist: squared-L2 via the
+    * hoisted identity (self-dots once per side, one native dot per
+    * shortlist row), dense top-k window. Shared by [[pqTopK]] and
+    * [[ivfPqTopK]].
+    */
+  private def rerank(short: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val cv2 = corpus.select(col(idCol).as("neighbor_id"), d(col(vecCol)).as("__cv"))
+      .withColumn("__cvv", Embeddings.dot(col("__cv"), col("__cv")))
     val qv = queries.select(col(idCol).as("query_id"), d(col(vecCol)).as("__qv"))
+      .withColumn("__qvv", Embeddings.dot(col("__qv"), col("__qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id"))
     short.join(cv2, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"), l2(col("__qv"), col("__cv")).as("dist"))
+      .select(col("query_id"), col("neighbor_id"),
+        l2Hoisted(col("__qv"), col("__cv"), col("__qvv"), col("__cvv")).as("dist"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("dist"))
@@ -284,9 +331,11 @@ object Quantization {
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("__d").asc, col("cell").asc)
     val probes = subvectors(queries, idCol, vecCol, m = 1, subDim = dim)
-      .join(broadcast(cellBook), Seq("sub"))
+      .withColumn("__svv", Embeddings.dot(col("sv"), col("sv")))
+      .join(broadcast(cellBook
+        .withColumn("__cvv", Embeddings.dot(col("cv"), col("cv")))), Seq("sub"))
       .select(col(idCol).as("query_id"), col("cid").as("cell"),
-        l2(col("sv"), col("cv")).as("__d"))
+        l2Hoisted(col("sv"), col("cv"), col("__svv"), col("__cvv")).as("__d"))
       .withColumn("__p", row_number().over(wp))
       .filter(col("__p") <= nprobe)
       .select(col("query_id"), col("cell"))
@@ -302,14 +351,6 @@ object Quantization {
       .select(col("query_id"), col(idCol).as("neighbor_id"), adcSim(m))
     val short = Embeddings.topKPerQuery(scored, shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    val cv2 = corpus.select(col(idCol).as("neighbor_id"), d(col(vecCol)).as("__cv"))
-    val qv = queries.select(col(idCol).as("query_id"), d(col(vecCol)).as("__qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("neighbor_id"))
-    short.join(cv2, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"), l2(col("__qv"), col("__cv")).as("dist"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("dist"))
+    rerank(short, corpus, queries, idCol, vecCol, k)
   }
 }

@@ -239,13 +239,21 @@ object LlmQueries {
        |FROM r""".stripMargin
   }
 
-  /** squared-L2 sequential fold over `n` components (mirror
-    * Quantization.l2 — same `0.0`-seeded left fold, squares are
-    * non-negative so signed zeros cannot diverge).
+  /** double-precision sequential-fold dot product over `n` components
+    * (the arbitrary-length sibling of [[dotSql]]).
+    */
+  private def dotNSql(a: String, b: String, n: Int): String =
+    s"list_reduce(list_transform(range(1, ${n + 1}), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+
+  /** squared-L2 over `n` components via the inner-product identity
+    * `|a|² + |b|² - 2·a·b` — the EXACT formula the Spark side computes
+    * (Quantization.l2Hoisted: self-dots hoisted per join side, native
+    * kernel for the cross dot), spliced as the same three sequential
+    * folds so both engines produce the same bits.
     */
   private def l2Sql(a: String, b: String, n: Int): String =
-    s"list_reduce(list_transform(range(1, ${n + 1}), " +
-      s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)), (x, y) -> x + y)"
+    s"(${dotNSql(a, a, n)} + ${dotNSql(b, b, n)} - 2 * ${dotNSql(a, b, n)})"
 
   /** Shared CTEs of the SQ8 oracles (mirror Quantization.sq8Encode):
     * per-dimension min/max grid `g`, then long-form codes `ec` with the
@@ -1498,8 +1506,13 @@ object LlmQueries {
     // doubles are accumulation-order-free, so the gate is exact.
     QueryDef("llm_emb_sq8",
       (s, dir) => {
+        // persisted: the folds below probe codes/lo/hi element-wise,
+        // and projection collapse would otherwise re-inline the whole
+        // encode transform PER element_at (O(dim²) interpreted work
+        // per row — measured 64 s at sf0.1); the cache materializes
+        // each array once. EAGER caching contract as in Dedup.
         val enc = Quantization.sq8Encode(
-          QueryDef.table(s, dir, "embeddings"), "vec_id", "embedding")
+          QueryDef.table(s, dir, "embeddings"), "vec_id", "embedding").persist()
         val errs = transform(transform(col("embedding"), x => x.cast("double")),
           (x, i) => {
             val lo = element_at(col("lo_arr"), i + 1)
@@ -1534,10 +1547,16 @@ object LlmQueries {
         val k = 3
         val bf = Embeddings.bruteForceTopK(emb, q, "vec_id", "embedding", k)
           .select(col("query_id"), col("neighbor_id"))
+        // persisted: bruteForceTopK scores the decoded column per
+        // candidate PAIR — without the cache the whole decode (itself
+        // probing the encode transform per element) re-runs queries×
+        // times per corpus row. The cache stores the decoded arrays
+        // once; per-pair work is then one native dot.
         val decoded = Quantization.sq8Encode(emb, "vec_id", "embedding")
           .select(col("vec_id"),
             Quantization.sq8Decode(col("codes"), col("lo_arr"), col("hi_arr"))
               .as("embedding"))
+          .persist()
         val sq = Embeddings.bruteForceTopK(decoded, q, "vec_id", "embedding", k)
           .select(col("query_id"), col("neighbor_id"))
         val hits = sq.join(bf, Seq("query_id", "neighbor_id"))
@@ -1616,11 +1635,14 @@ object LlmQueries {
         val dd = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
         val bfScored = emb
           .select(col("vec_id").as("neighbor_id"), dd(col("embedding")).as("__cv"))
+          .withColumn("__cvv", Embeddings.dot(col("__cv"), col("__cv")))
           .crossJoin(broadcast(
-            q.select(col("vec_id").as("query_id"), dd(col("embedding")).as("__qv"))))
+            q.select(col("vec_id").as("query_id"), dd(col("embedding")).as("__qv"))
+              .withColumn("__qvv", Embeddings.dot(col("__qv"), col("__qv")))))
           .filter(col("query_id") =!= col("neighbor_id"))
           .select(col("query_id"), col("neighbor_id"),
-            (lit(0.0) - Quantization.l2(col("__qv"), col("__cv"))).as("sim"))
+            (lit(0.0) - (col("__qvv") + col("__cvv")
+              - lit(2.0) * Embeddings.dot(col("__qv"), col("__cv")))).as("sim"))
         val bf = Embeddings.topKPerQuery(bfScored, k)
           .select(col("query_id"), col("neighbor_id"))
         val cbk = Quantization.pqCodebooks(emb, "vec_id", "embedding")
@@ -1695,11 +1717,14 @@ object LlmQueries {
         val dd = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
         val bfScored = emb
           .select(col("vec_id").as("neighbor_id"), dd(col("embedding")).as("__cv"))
+          .withColumn("__cvv", Embeddings.dot(col("__cv"), col("__cv")))
           .crossJoin(broadcast(
-            q.select(col("vec_id").as("query_id"), dd(col("embedding")).as("__qv"))))
+            q.select(col("vec_id").as("query_id"), dd(col("embedding")).as("__qv"))
+              .withColumn("__qvv", Embeddings.dot(col("__qv"), col("__qv")))))
           .filter(col("query_id") =!= col("neighbor_id"))
           .select(col("query_id"), col("neighbor_id"),
-            (lit(0.0) - Quantization.l2(col("__qv"), col("__cv"))).as("sim"))
+            (lit(0.0) - (col("__qvv") + col("__cvv")
+              - lit(2.0) * Embeddings.dot(col("__qv"), col("__cv")))).as("sim"))
         val bf = Embeddings.topKPerQuery(bfScored, k)
           .select(col("query_id"), col("neighbor_id"))
         val cells = Quantization.pqCodebooks(emb, "vec_id", "embedding",

@@ -79,13 +79,18 @@ class QuantizationSpec extends AnyFunSuite with SparkSpec {
     val q = emb.filter(col("vec_id") < 5)
     val cb = Quantization.pqCodebooks(emb, "vec_id", "embedding")
     val d = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
+    // same hoisted-identity distance the rerank computes, so fp ties
+    // cannot order differently between reference and implementation
     val exact = Embeddings.topKPerQuery(
       emb.select(col("vec_id").as("neighbor_id"), d(col("embedding")).as("__cv"))
+        .withColumn("__cvv", Embeddings.dot(col("__cv"), col("__cv")))
         .crossJoin(broadcast(
-          q.select(col("vec_id").as("query_id"), d(col("embedding")).as("__qv"))))
+          q.select(col("vec_id").as("query_id"), d(col("embedding")).as("__qv"))
+            .withColumn("__qvv", Embeddings.dot(col("__qv"), col("__qv")))))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
-          (lit(0.0) - Quantization.l2(col("__qv"), col("__cv"))).as("sim")), 3)
+          (lit(0.0) - (col("__qvv") + col("__cvv")
+            - lit(2.0) * Embeddings.dot(col("__qv"), col("__cv")))).as("sim")), 3)
       .select($"query_id", $"neighbor_id", $"rnk")
     val viaPq = Quantization.pqTopK(emb, q, cb, "vec_id", "embedding",
         shortlist = 500, k = 3)
