@@ -123,6 +123,26 @@ object Bench {
       }
       counts("n_ingested") = ingested.count()
       ingested.unpersist()
+
+      // BUCKETED index layout: the band shuffle moves to index-build
+      // time (bucketBy pays one write-side exchange + sort); ingest
+      // then band-joins and censuses the index exchange-free
+      // (DedupIndexSpec pins the plans — this is the wall-time at
+      // volume, same result set as dedup_incremental).
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_bench_dedup")
+      rs("dedup_index_build_bucketed") = timed2 {
+        graft.llm.Dedup.writeBandedIndex(
+          graft.llm.Dedup.signatureIndex(
+            docs.filter(col("doc_id") % 10 =!= 1), "doc_id", "text"),
+          "graft_bench_dedup.sig_idx", s"$scratch/dedup_index_bucketed")
+      }
+      var incB: DataFrame = null
+      rs("dedup_incremental_bucketed") = timed2 {
+        incB = graft.llm.Dedup.incrementalPairsBucketed(
+          spark, "graft_bench_dedup.sig_idx", shard, "doc_id", "text")
+      }
+      counts("n_pairs_incremental_bucketed") = incB.count()
+      incB.unpersist()
       spark.catalog.clearCache()
 
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
