@@ -15,9 +15,12 @@ import org.apache.spark.sql.types._
   * IMAGE payloads are decoded for REAL: JDK `javax.imageio` parses
   * PNG/JPEG/GIF/BMP headers with zero added dependencies, and the
   * `mm_decode_png` gate hash-checks genuine decoded dimensions against
-  * fixture-derived expectations. PCM AUDIO is decoded for real too:
+  * fixture-derived expectations. AUDIO metadata is decoded for real too:
   * JDK `javax.sound.sampled` parses WAV/AIFF/AU headers (sample rate,
-  * frame count → duration; `mm_decode_wav` gate). VIDEO CONTAINER
+  * frame count → duration; `mm_decode_wav` gate), [[mp3Meta]] walks
+  * MPEG-1 Layer III frame headers (`mm_decode_mp3` gate) and
+  * [[flacMeta]] reads the FLAC STREAMINFO block (`mm_decode_flac`
+  * gate) — both pure byte parsing, no codec. VIDEO CONTAINER
   * metadata is decoded for real as well: [[videoMeta]] walks MP4 /
   * ISO-BMFF box headers (`moov`→`mvhd` for duration, `trak`→`tkhd` for
   * width×height, `stbl`→`stsz` for the sample count) — pure JVM byte
@@ -127,6 +130,137 @@ object Multimodal {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None
     }
+
+  // ---- MP3 (MPEG audio) frame-header parsing (pure byte walking) ----
+
+  /** MPEG-1 bitrate table for Layer III, kbit/s, indexed 1–14. */
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  /** MPEG-1 sample-rate table, indexed 0–2. */
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** Real MP3 metadata — (sample rate, PCM sample count) by walking
+    * MPEG-1 Layer III frame headers: each 0xFFE-synced header carries
+    * the bitrate/sample-rate indices that determine the frame's byte
+    * length (`144·bitrate/rate + padding`), so the whole stream is
+    * parsable frame-by-frame with no codec; every frame decodes to
+    * 1152 PCM samples. Skips a leading ID3v2 tag (syncsafe length).
+    * None when no valid frame sequence is found — the caller falls
+    * back to the documented stub rather than fabricating fields.
+    */
+  private[multimodal] def mp3Meta(payload: Array[Byte]): Option[(Int, Long)] = {
+    var off = 0
+    // ID3v2: "ID3" + ver(2) + flags(1) + 4-byte syncsafe size of the tag body.
+    if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
+      val size = ((payload(6) & 0x7f) << 21) | ((payload(7) & 0x7f) << 14) |
+        ((payload(8) & 0x7f) << 7) | (payload(9) & 0x7f)
+      off = 10 + size
+    }
+    var frames = 0L
+    var rate = 0
+    while (off + 4 <= payload.length) {
+      val b0 = payload(off) & 0xff; val b1 = payload(off + 1) & 0xff
+      val b2 = payload(off + 2) & 0xff
+      // sync (11 bits) + MPEG-1 (version bits 11) + Layer III (bits 01);
+      // strict: after an optional ID3v2 tag the payload must be one
+      // unbroken frame sequence, or the caller falls back to the stub.
+      if (b0 != 0xff || (b1 & 0xfe) != 0xfa) return None
+      val bitrateIdx = (b2 >> 4) & 0xf
+      val rateIdx = (b2 >> 2) & 0x3
+      if (bitrateIdx == 0 || bitrateIdx == 15 || rateIdx == 3) return None
+      val thisRate = Mp3Rates(rateIdx)
+      if (rate != 0 && thisRate != rate) return None
+      rate = thisRate
+      val padding = (b2 >> 1) & 0x1
+      val frameLen = 144 * Mp3Bitrates(bitrateIdx) * 1000 / thisRate + padding
+      if (frameLen < 4) return None
+      frames += 1
+      off += frameLen
+    }
+    if (frames > 0 && off == payload.length) Some((rate, frames * 1152L)) else None
+  }
+
+  /** Deterministic in-memory MP3 (valid MPEG-1 Layer III frame headers
+    * at 96 kbit/s / 32 kHz mono, deterministic filler main data) —
+    * fixture support for the real compressed-audio decode gate: every
+    * byte is a fixed function of the arguments, so the same call always
+    * produces byte-identical fixtures. Each frame is 1152 samples, so
+    * duration is `nFrames·1152/32000` seconds.
+    */
+  def mp3Bytes(nFrames: Int, seed: Int): Array[Byte] = {
+    val frameLen = 144 * 96000 / 32000 // = 432 bytes, no padding
+    val out = new Array[Byte](nFrames * frameLen)
+    var f = 0
+    while (f < nFrames) {
+      val base = f * frameLen
+      out(base) = 0xff.toByte
+      out(base + 1) = 0xfb.toByte // MPEG-1, Layer III, no CRC
+      out(base + 2) = ((7 << 4) | (2 << 2)).toByte // 96 kbit/s, 32 kHz, no padding
+      out(base + 3) = 0xc4.toByte // mono
+      var i = 4
+      while (i < frameLen) { out(base + i) = ((i * 31 + f * 131 + seed * 7919) & 0xff).toByte; i += 1 }
+      f += 1
+    }
+    out
+  }
+
+  // ---- FLAC STREAMINFO parsing (pure byte reading) ----
+
+  /** Real FLAC metadata — (sample rate, total samples) from the
+    * mandatory STREAMINFO metadata block that directly follows the
+    * `fLaC` magic: sample rate is a 20-bit field at bit offset 144 of
+    * the block, total samples the 36-bit field at offset 173 — pure
+    * byte reading, no codec. None when the magic or block is absent or
+    * the fields are zero (a streamed FLAC may omit the total).
+    */
+  private[multimodal] def flacMeta(payload: Array[Byte]): Option[(Int, Long)] = {
+    if (payload.length < 42 || payload(0) != 'f' || payload(1) != 'L' ||
+      payload(2) != 'a' || payload(3) != 'C') return None
+    // Metadata block header at offset 4: 1 bit last-flag + 7 bits type
+    // (STREAMINFO = 0) + 24-bit length (34 for STREAMINFO).
+    if ((payload(4) & 0x7f) != 0) return None
+    val s = 8 // STREAMINFO body start
+    // Bytes 10–17 of the body: rate(20) | channels-1(3) | bps-1(5) | totalSamples(36).
+    val rate = ((payload(s + 10) & 0xff) << 12) | ((payload(s + 11) & 0xff) << 4) |
+      ((payload(s + 12) & 0xff) >> 4)
+    val total = ((payload(s + 13) & 0x0fL) << 32) | ((payload(s + 14) & 0xffL) << 24) |
+      ((payload(s + 15) & 0xffL) << 16) | ((payload(s + 16) & 0xffL) << 8) |
+      (payload(s + 17) & 0xffL)
+    if (rate > 0 && total > 0) Some((rate, total)) else None
+  }
+
+  /** Deterministic in-memory FLAC header (magic + STREAMINFO block +
+    * deterministic filler "frame" bytes) — fixture support for the real
+    * compressed-audio decode gate. Duration is `totalSamples/sampleRate`
+    * seconds.
+    */
+  def flacBytes(totalSamples: Long, sampleRate: Int, seed: Int): Array[Byte] = {
+    val body = new Array[Byte](34)
+    // min/max block size = 4096
+    body(0) = 0x10; body(1) = 0x00; body(2) = 0x10; body(3) = 0x00
+    // min/max frame size left 0 (unknown) — bytes 4..9
+    body(10) = ((sampleRate >> 12) & 0xff).toByte
+    body(11) = ((sampleRate >> 4) & 0xff).toByte
+    // 4 low rate bits | channels-1 (3 bits, mono = 0) | top bit of bps-1
+    // (16-bit audio: bps-1 = 15 = 0b01111, top bit 0, low 4 bits in byte 13).
+    body(12) = ((sampleRate & 0xf) << 4).toByte
+    body(13) = (0xf0 | ((totalSamples >> 32) & 0x0f)).toInt.toByte
+    body(14) = ((totalSamples >> 24) & 0xff).toByte
+    body(15) = ((totalSamples >> 16) & 0xff).toByte
+    body(16) = ((totalSamples >> 8) & 0xff).toByte
+    body(17) = (totalSamples & 0xff).toByte
+    // bytes 18..33: MD5 of the (absent) audio data — deterministic filler.
+    var i = 18
+    while (i < 34) { body(i) = ((i * 17 + seed * 131) & 0xff).toByte; i += 1 }
+    val frames = Array.tabulate(64 + math.abs(seed) % 64)(i => ((i * 37 + seed) & 0xff).toByte)
+    val out = new Array[Byte](4 + 4 + 34 + frames.length)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    out(4) = 0x80.toByte // last-metadata-block flag + type 0 (STREAMINFO)
+    out(5) = 0; out(6) = 0; out(7) = 34
+    System.arraycopy(body, 0, out, 8, 34)
+    System.arraycopy(frames, 0, out, 42, frames.length)
+    out
+  }
 
   // ---- MP4 / ISO-BMFF container parsing (pure byte walking, no codec) ----
 
@@ -278,8 +412,9 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]](2)
           val real: Option[(Int, Int, Int, Double)] = kind match {
             case "image" => imageMeta(payload).map { case (iw, ih) => (iw, ih, 1, 1 / 24.0) }
-            case "audio" => audioMeta(payload).map { case (rate, fr) =>
-              (0, 0, fr.toInt, fr.toDouble / rate) }
+            case "audio" => audioMeta(payload).orElse(mp3Meta(payload))
+              .orElse(flacMeta(payload)).map { case (rate, fr) =>
+                (0, 0, fr.toInt, fr.toDouble / rate) }
             case "video" => videoMeta(payload)
             case _ => None
           }

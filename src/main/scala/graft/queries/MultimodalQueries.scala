@@ -95,6 +95,52 @@ object MultimodalQueries {
              | round((800 + (i * 37) % 1600) / 8000.0 + 0.000001, 6) AS duration_s
              |FROM range(0, 48) t(i)""".stripMargin)),
 
+    // REAL compressed-audio container decode (MP3): deterministic
+    // fixture MP3s (frame counts from a fixed formula; 96 kbit/s /
+    // 32 kHz MPEG-1 Layer III headers) flow through the batched decode
+    // stage; the frame-header walker must recover the genuine sample
+    // count (1152 PCM samples per frame) and duration, and the oracle
+    // recomputes both from the formula — a regression to the
+    // sha-derived stub mismatches every row.
+    QueryDef("mm_decode_mp3",
+      (s, dir) => {
+        import scala.jdk.CollectionConverters._
+        val n = 48
+        val rows: java.util.List[org.apache.spark.sql.Row] = (0 until n).map { i =>
+          val frames = 5 + (i * 17) % 90
+          org.apache.spark.sql.Row(i.toLong, "audio", Multimodal.mp3Bytes(frames, i))
+        }.asJava
+        Multimodal.decode(s.createDataFrame(rows, Multimodal.assetSchema))
+          .select(col("asset_id"), col("n_frames"),
+            round(col("duration_s") + lit(1e-6), 6).as("duration_s"))
+      },
+      Some("""SELECT CAST(i AS BIGINT) AS asset_id,
+             | CAST((5 + (i * 17) % 90) * 1152 AS INT) AS n_frames,
+             | round((5 + (i * 17) % 90) * 1152 / 32000.0 + 0.000001, 6) AS duration_s
+             |FROM range(0, 48) t(i)""".stripMargin)),
+
+    // REAL compressed-audio container decode (FLAC): deterministic
+    // fixture FLAC streams (total-sample counts from a fixed formula,
+    // 16 kHz STREAMINFO) flow through the batched decode stage; the
+    // STREAMINFO reader must recover the genuine totals, and the
+    // oracle recomputes them from the formula.
+    QueryDef("mm_decode_flac",
+      (s, dir) => {
+        import scala.jdk.CollectionConverters._
+        val n = 48
+        val rows: java.util.List[org.apache.spark.sql.Row] = (0 until n).map { i =>
+          val samples = 4000L + (i * 211) % 8000
+          org.apache.spark.sql.Row(i.toLong, "audio", Multimodal.flacBytes(samples, 16000, i))
+        }.asJava
+        Multimodal.decode(s.createDataFrame(rows, Multimodal.assetSchema))
+          .select(col("asset_id"), col("n_frames"),
+            round(col("duration_s") + lit(1e-6), 6).as("duration_s"))
+      },
+      Some("""SELECT CAST(i AS BIGINT) AS asset_id,
+             | CAST(4000 + (i * 211) % 8000 AS INT) AS n_frames,
+             | round((4000 + (i * 211) % 8000) / 16000.0 + 0.000001, 6) AS duration_s
+             |FROM range(0, 48) t(i)""".stripMargin)),
+
     // REAL video container decode: deterministic fixture MP4s (dims,
     // frame counts and durations from fixed formulas) flow through the
     // batched decode stage; the ISO-BMFF box walker must recover the

@@ -80,6 +80,50 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out(32L)._3 == 1, "mp4 payloads never go through the image decoder")
   }
 
+  test("decode parses real MP3 frame headers and FLAC STREAMINFO") {
+    val real = Seq(
+      (40L, "audio", Multimodal.mp3Bytes(nFrames = 7, seed = 2)),
+      (41L, "audio", Multimodal.flacBytes(totalSamples = 48000L, sampleRate = 16000, seed = 3)),
+      (42L, "audio", Array[Byte](0xff.toByte, 0xfb.toByte)), // truncated sync: fake fallback
+      (43L, "video", Multimodal.mp3Bytes(nFrames = 7, seed = 2)) // kind gates decode
+    ).toDF("asset_id", "kind", "payload")
+    val out = Multimodal.decode(real).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(5), r.getDouble(6)))).toMap
+    assert(out(40L) == ((0, 7 * 1152, 7 * 1152 / 32000.0)),
+      s"MP3 sample count/duration must be decoded for real: ${out(40L)}")
+    assert(out(41L) == ((0, 48000, 3.0)),
+      s"FLAC totals must be decoded for real: ${out(41L)}")
+    assert(out(42L)._1 >= 160, "truncated MP3 falls back to the deterministic fake")
+    assert(out(43L)._1 >= 160, "video payloads never go through the audio decoder")
+  }
+
+  test("mp3Meta skips ID3v2 tags and rejects malformed streams") {
+    val body = Multimodal.mp3Bytes(nFrames = 3, seed = 4)
+    // prepend an ID3v2 tag: "ID3" v2.3, no flags, syncsafe body size 130
+    val tagBody = new Array[Byte](130)
+    val tag = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, (130 >> 7).toByte, (130 & 0x7f).toByte)
+    assert(Multimodal.mp3Meta(tag ++ tagBody ++ body).contains((32000, 3 * 1152L)),
+      "ID3v2-prefixed stream must parse")
+    // free-format (bitrate index 0) is rejected, not guessed at
+    val bad = body.clone(); bad(2) = ((0 << 4) | (2 << 2)).toByte
+    assert(Multimodal.mp3Meta(bad).isEmpty)
+    // trailing garbage after the last frame is rejected (not an MP3 tail we understand)
+    assert(Multimodal.mp3Meta(body ++ Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("flacMeta reads the 36-bit total and rejects non-STREAMINFO layouts") {
+    // >2^32 samples exercises the high nibble of the 36-bit field
+    val big = 5L * 1024 * 1024 * 1024
+    assert(Multimodal.flacMeta(Multimodal.flacBytes(big, 96000, seed = 1))
+      .contains((96000, big)))
+    // a first block that isn't STREAMINFO is rejected
+    val wrongType = Multimodal.flacBytes(1000L, 16000, seed = 1)
+    wrongType(4) = 0x84.toByte // type 4 = VORBIS_COMMENT
+    assert(Multimodal.flacMeta(wrongType).isEmpty)
+    // a streamed FLAC with total-samples 0 is honestly rejected
+    assert(Multimodal.flacMeta(Multimodal.flacBytes(0L, 16000, seed = 1)).isEmpty)
+  }
+
   test("videoMeta handles 64-bit box sizes and rejects truncated moov") {
     val ok = Multimodal.mp4Bytes(320, 240, 48, 600, 1200, seed = 9)
     // rewrite the top-level moov header to the size==1 largesize form:
