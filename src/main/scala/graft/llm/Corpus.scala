@@ -191,6 +191,109 @@ object Corpus {
     else canon.join(docs.select(col(idCol) +: keepCols.map(col): _*), Seq(idCol))
   }
 
+  /** Exact corpus-wide heavy hitters (top-`k` tokens) without a full
+    * vocabulary shuffle — the two-pass sketch-then-recount shape every
+    * 100-TB frequency analysis uses:
+    *
+    *   1. CANDIDATES: each scan partition runs a Misra–Gries summary of
+    *      `capacity` counters over its token stream (`mapPartitions`,
+    *      O(capacity) state, decrement-all amortized O(1) per token) and
+    *      emits only its surviving keys. Pigeonhole guarantee: a token
+    *      absent from EVERY partition summary has local count
+    *      < n_p/(capacity+1) in each partition p, so its global count is
+    *      < N/(capacity+1) — every token with global count ≥
+    *      N/(capacity+1) is a candidate. Summary CONTENT depends on
+    *      arrival order (which decrements land where), but the guarantee
+    *      — and therefore the final output — does not.
+    *   2. RECOUNT: candidates (≤ capacity × partitions rows) broadcast
+    *      back as a semi-join filter over the token stream; only
+    *      surviving tokens are exactly counted (map-side partials, tiny
+    *      shuffle), then ranked. No full-vocabulary aggregate ever runs.
+    *
+    * Correctness contract: the result equals the plain top-k-by-count
+    * whenever the true k-th count is ≥ N/(capacity+1) — size `capacity`
+    * to the skew you expect (stopword-heavy natural language saturates
+    * far below that bound). Ties break lexicographically.
+    *
+    * Output: (token, n, rnk), rnk in [1, k] by (n desc, token).
+    */
+  def heavyHitters(
+      docs: DataFrame, textCol: String, k: Int, capacity: Int = 512): DataFrame = {
+    require(k > 0 && capacity >= k, s"need capacity >= k > 0: $capacity/$k")
+    val toks = docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+    import toks.sparkSession.implicits._
+    val candidates = toks.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        val have = m.getOrElse(t, 0L)
+        if (have > 0L) m(t) = have + 1
+        else if (m.size < capacity) m(t) = 1L
+        else {
+          // decrement-all: every counter pays 1; zeroed keys drop out.
+          // Snapshot before mutating — updating a mutable map mid-
+          // iteration is undefined.
+          m.toArray.foreach { case (key, c) =>
+            if (c == 1L) m.remove(key) else m(key) = c - 1
+          }
+        }
+      }
+      m.keysIterator
+    }.toDF("token").distinct()
+    val counted = toks
+      .join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    counted
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Count–min-sketch counter table over the corpus token stream:
+    * `depth` seeded hash rows × `width` buckets, built as ONE
+    * aggregation — each token occurrence explodes to `depth`
+    * (row, bucket) pairs (`xxhash64(token, row)` keys the rows to
+    * independent hash functions) and map-side partial aggregation
+    * collapses them, so the shuffle is bounded by depth × width
+    * COUNTERS regardless of corpus size or vocabulary. Deterministic:
+    * integer counts under seeded hashes — any shuffle order yields the
+    * identical table.
+    *
+    * Output: (d, bucket, cnt) — absent (d, bucket) combinations are
+    * zero-count.
+    */
+  def cmsCounters(
+      docs: DataFrame, textCol: String, depth: Int = 4, width: Int = 4096): DataFrame = {
+    require(depth > 0 && width > 0, s"need positive depth/width: $depth/$width")
+    docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .select(col("token"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .groupBy(col("d"), pmod(xxhash64(col("token"), col("d")), lit(width.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[cmsCounters]] table: est(token) = min over
+    * the `depth` rows of that row's bucket counter — the classic
+    * count–min upper bound (est ≥ true count always; est ≤ true count
+    * + ε·N with probability 1 − (1/e)^depth for ε = e/width). The probe
+    * side explodes each distinct query token to its `depth` buckets and
+    * equi-joins the counter table (depth × width rows — broadcastable),
+    * so estimating a candidate set never rescans the corpus.
+    *
+    * Output: (token, est).
+    */
+  def cmsEstimate(
+      tokens: DataFrame, counters: DataFrame,
+      depth: Int = 4, width: Int = 4096): DataFrame =
+    tokens
+      .select(col("token"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("token"), col("d"),
+        pmod(xxhash64(col("token"), col("d")), lit(width.toLong)).as("bucket"))
+      .join(broadcast(counters), Seq("d", "bucket"))
+      .groupBy(col("token"))
+      .agg(min(col("cnt")).as("est"))
+
   /** Per-document cross-corpus duplicated-span profile: of a document's
     * DISTINCT n-token spans, how many also occur in at least one OTHER
     * document — the corpus-internal repetition signal (boilerplate,

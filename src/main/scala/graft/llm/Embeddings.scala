@@ -272,6 +272,106 @@ object Embeddings {
       .filter(col("rnk") <= k)
   }
 
+  /** Persist an IVF index as catalog tables — the ANN twin of
+    * [[graft.llm.Dedup.writeBandedIndex]]'s daily-ingest story:
+    *
+    *   - `<name>_lists(id, vec, nrm, cluster_id)` bucketed by
+    *     `cluster_id`: the inverted lists, with the per-vector norm
+    *     PRECOMPUTED so search never rescans or re-normalizes the
+    *     corpus.
+    *   - `<name>_centroids(centroid_id, cv)`: the (tiny) codebook the
+    *     router broadcasts.
+    *
+    * What persisting buys at corpus scale: [[ivfTopK]] re-runs the
+    * assignment pass — k×dim flops per corpus row plus an argmax
+    * aggregate — on EVERY search batch; here that pass runs once at
+    * build time, and each search only streams the probed lists against
+    * a broadcast probe set (no corpus shuffle, no assignment, no norm
+    * recompute). Tables are EXTERNAL (explicit `path`) for the same
+    * restart-safety reason as the dedup index: rebuild-into-place must
+    * survive a JVM whose warehouse dir outlives the catalog.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      name: String, pathRoot: String, buckets: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    assignClusters(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col("cluster_id"))
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"), col("cluster_id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "cluster_id")
+      .option("path", s"$pathRoot/lists")
+      .saveAsTable(s"${name}_lists")
+    centroids
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cnrm"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$pathRoot/centroids")
+      .saveAsTable(s"${name}_centroids")
+  }
+
+  /** Daily-ingest append: route a NEW shard of vectors to the existing
+    * codebook and add them to the persisted inverted lists — the
+    * arriving shard is assigned (broadcast centroids, no index read)
+    * and inserted bucket-aligned; the index itself is never rewritten
+    * or reshuffled. Search over the result is IDENTICAL to a full
+    * rebuild because assignment depends only on the (frozen) centroids,
+    * never on which other vectors share the list — the property the
+    * `llm_emb_index_incremental` gate pins by reusing the from-scratch
+    * oracle. Id disjointness from the indexed corpus is the caller's
+    * contract, as with the dedup index.
+    */
+  def appendIvfShard(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      shard: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cent = spark.table(s"${name}_centroids")
+      .select(col("centroid_id").as(idCol), col("cv").as(vecCol))
+    assignClusters(shard, cent, idCol, vecCol)
+      .select(col(idCol), col("cluster_id"))
+      .join(shard.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"), col("cluster_id"))
+      .write.mode("append").format("parquet")
+      .insertInto(s"${name}_lists")
+  }
+
+  /** Search a [[writeIvfIndex]] layout: identical routing and scoring
+    * to [[ivfTopK]] (same probes, same tie order — result-identical
+    * given the same centroids and lists), minus the per-search
+    * assignment pass. The probe set (queries × nprobe cells) is
+    * broadcast against the bucketed list scan; per-query results are
+    * bounded by the window top-k, so the only exchange moves scored
+    * candidates, never the index.
+    */
+  def ivfIndexedTopK(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    val cent = spark.table(s"${name}_centroids")
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("__qv"), col("__qn"), col("centroid_id"),
+        cosineHoisted(col("__qv"), col("cv"), col("__qn"), col("cnrm")).as("csim"))
+      .withColumn("prnk", row_number().over(wp))
+      .filter(col("prnk") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        col("centroid_id").as("cluster_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    spark.table(s"${name}_lists")
+      .join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosineHoisted(col("__qv"), col("vec"), col("__qn"), col("nrm")).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Approximate top-k: IVF-style probe of the query's own projection
     * bucket (inverted lists keyed by [[projBucket]]; probe=1). Each query
     * scores only its bucket's candidates — the corpus-side work drops by

@@ -363,6 +363,40 @@ object LlmQueries {
        |c2 AS (SELECT cluster_id AS centroid_id, list(mean ORDER BY pos) AS cv
        |  FROM m GROUP BY 1)""".stripMargin
 
+  /** From-scratch DuckDB replay of the learned-IVF SEARCH itself
+    * (vs. llm_emb_recall_ivf's recall wrapper): [[lloydCtes]] codebook →
+    * corpus assignment → 3-probe routing → per-query top-3 by
+    * (sim desc, neighbor) — the shared oracle of the persisted-index
+    * gates, which must reproduce this row for row whether the lists
+    * were built in one shot or appended incrementally.
+    */
+  private val ivfSearchSql: String =
+    s"""WITH $lloydCtes,
+       |q AS (SELECT vec_id AS query_id, embedding AS qe
+       |  FROM embeddings WHERE vec_id < 50),
+       |s2 AS (SELECT e.vec_id, e.embedding, c2.centroid_id,
+       |   ${cosSql("e.embedding", "c2.cv")} AS sim
+       |  FROM embeddings e, c2),
+       |a2 AS (SELECT vec_id, embedding, centroid_id AS cluster_id
+       |  FROM (SELECT vec_id, embedding, centroid_id, row_number() OVER
+       |     (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rnk FROM s2)
+       |  WHERE rnk = 1),
+       |pr AS (SELECT query_id, cluster_id
+       |  FROM (SELECT q.query_id, c2.centroid_id AS cluster_id, row_number() OVER
+       |     (PARTITION BY q.query_id ORDER BY ${cosSql("q.qe", "c2.cv")} DESC,
+       |      c2.centroid_id) AS prnk
+       |    FROM q, c2)
+       |  WHERE prnk <= 3),
+       |j AS (SELECT pr.query_id, a2.vec_id AS neighbor_id,
+       |   ${cosSql("qe.qe", "a2.embedding")} AS sim
+       |  FROM pr JOIN a2 ON pr.cluster_id = a2.cluster_id
+       |   JOIN q qe ON qe.query_id = pr.query_id
+       |  WHERE a2.vec_id != pr.query_id)
+       |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk
+       |FROM (SELECT query_id, neighbor_id, row_number() OVER
+       |   (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM j)
+       |WHERE rnk <= 3""".stripMargin
+
   // ---- the queries ----
 
   val defs: Seq[QueryDef] = Seq(
@@ -772,6 +806,58 @@ object LlmQueries {
              |   (PARTITION BY lang ORDER BY n DESC, token) AS rnk FROM c)
              |SELECT lang, token, n, CAST(rnk AS INT) AS rnk
              |FROM r WHERE rnk <= 5""".stripMargin)),
+
+    // Exact heavy hitters WITHOUT a full-vocabulary shuffle: per-
+    // partition Misra-Gries candidate summaries, then an exact recount
+    // of only the candidate set (broadcast semi-join filter). The
+    // output is the plain top-k-by-count whenever the k-th count
+    // clears the N/(capacity+1) pigeonhole bound — so the oracle is
+    // ordinary SQL top-k, and any candidate-superset bug (a missed
+    // heavy hitter) mismatches rows, not just values.
+    QueryDef("llm_heavy_hitters",
+      (s, dir) => Corpus.heavyHitters(
+        QueryDef.table(s, dir, "documents"), "text", k = 10, capacity = 2048),
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+             |   FROM documents),
+             | c AS (SELECT token, count(*) AS n FROM t GROUP BY 1),
+             | r AS (SELECT token, n, row_number() OVER
+             |   (ORDER BY n DESC, token) AS rnk FROM c)
+             |SELECT token, n, CAST(rnk AS INT) AS rnk
+             |FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // Count-min-sketch frequency estimation, bounds-check gated like
+    // q26_approx: the exact top-10 token counts hash-compare against
+    // the oracle, and the sketch's two guarantees are emitted as
+    // booleans the oracle pins to TRUE - est >= exact always (count-min
+    // never underestimates), and est <= exact + N/256 here (width 4096
+    // x depth 4; the min over 4 seeded hash rows makes the 16x-expected-
+    // collision-mass bound effectively certain, and seeded xxhash64
+    // makes it deterministic). Integer-only comparisons.
+    QueryDef("llm_vocab_cms",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        val toks = docs.select(explode(TF.tokens(col("text"))).as("token"))
+        val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("token"))))
+          .filter(col("rnk") <= 10)
+        val counters = Corpus.cmsCounters(docs, "text", depth = 4, width = 4096)
+        val est = Corpus.cmsEstimate(exact.select(col("token")), counters,
+          depth = 4, width = 4096)
+        val total = toks.agg(count(lit(1)).as("__N"))
+        exact.join(est, Seq("token")).crossJoin(broadcast(total))
+          .select(col("token"), col("n"), col("rnk"),
+            (col("est") >= col("n")).as("cms_no_underestimate"),
+            ((col("est") - col("n")) * lit(256L) <= col("__N")).as("cms_within_eps"))
+      },
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+             |   FROM documents),
+             | c AS (SELECT token, count(*) AS n FROM t GROUP BY 1),
+             | r AS (SELECT token, n, row_number() OVER
+             |   (ORDER BY n DESC, token) AS rnk FROM c)
+             |SELECT token, n, CAST(rnk AS INT) AS rnk,
+             | TRUE AS cms_no_underestimate, TRUE AS cms_within_eps
+             |FROM r WHERE rnk <= 10""".stripMargin)),
 
     // Decontamination: flag corpus documents whose EXACT content appears
     // in an eval/benchmark set (here: every 50th doc stands in as the
@@ -1481,6 +1567,50 @@ object LlmQueries {
               |SELECT query_id, n_hits, recall,
               | CAST(CASE WHEN avg(recall) OVER () >= 0.6 THEN 1 ELSE 0 END AS INT) AS floor_ok
               |FROM r""".stripMargin)),
+
+    // PERSISTED IVF index search: writeIvfIndex materializes the
+    // inverted lists (bucketed by cell, norms precomputed) + codebook
+    // as external catalog tables, and ivfIndexedTopK searches them
+    // without the per-batch assignment pass ivfTopK pays. The oracle
+    // replays the whole search from scratch in SQL — so the persisted
+    // layout must reproduce the exact top-3 (same routing, scoring and
+    // tie order), row for row.
+    QueryDef("llm_emb_ivf_indexed",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_ann")
+        val name = s"graft_ann.ivf_idx_${math.abs(dir.hashCode)}"
+        Embeddings.writeIvfIndex(emb, lloydCentroids(emb), "vec_id", "embedding",
+          name, s"target/tmp/ivf_idx_${math.abs(dir.hashCode)}")
+        Embeddings.ivfIndexedTopK(s, name, emb.filter(col("vec_id") < 50),
+            "vec_id", "embedding", nprobe = 3, k = 3)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      },
+      Some(ivfSearchSql)),
+
+    // Daily-ingest append on the same index: 90% of the corpus is
+    // indexed, the arriving 10% shard is routed to the FROZEN codebook
+    // and inserted bucket-aligned (appendIvfShard) — no index rewrite,
+    // no corpus reshuffle. Search over (index + shard) must equal the
+    // from-scratch search over the full corpus — same oracle as
+    // llm_emb_ivf_indexed, the exact parallel of the dedup index's
+    // incremental gate.
+    QueryDef("llm_emb_index_incremental",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_ann")
+        val name = s"graft_ann.ivf_incr_${math.abs(dir.hashCode)}"
+        Embeddings.writeIvfIndex(
+          emb.filter(col("vec_id") % 10 =!= 0), lloydCentroids(emb),
+          "vec_id", "embedding",
+          name, s"target/tmp/ivf_incr_${math.abs(dir.hashCode)}")
+        Embeddings.appendIvfShard(s, name,
+          emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding")
+        Embeddings.ivfIndexedTopK(s, name, emb.filter(col("vec_id") < 50),
+            "vec_id", "embedding", nprobe = 3, k = 3)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      },
+      Some(ivfSearchSql)),
 
     // Multimodal-adjacent: array-typed column stats per label.
     QueryDef("llm_emb_stats",

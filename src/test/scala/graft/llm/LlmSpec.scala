@@ -701,4 +701,43 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(out.contains("val") && out.contains("test"),
       s"val/test must survive composition with upstream sampling: $out")
   }
+
+  test("heavy hitters equal the full top-k and survive hostile partitioning") {
+    import org.apache.spark.sql.functions._
+    // 40 partitions over a stream where 'alpha'/'beta' dominate: the
+    // MG candidate pass must surface them from every partition layout.
+    val docs = spark.range(0, 2000).toDF("doc_id")
+      .repartition(40)
+      .withColumn("text",
+        concat_ws(" ", lit("alpha"), lit("alpha"), lit("beta"),
+          concat(lit("rare"), col("doc_id") % 500)))
+    val out = Corpus.heavyHitters(docs, "text", k = 2, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSet == Set(("alpha", 4000L, 1), ("beta", 2000L, 2)),
+      s"exact recount must rank the true heavy hitters: ${out.mkString(", ")}")
+    // tiny capacity still catches a majority token (pigeonhole bound)
+    val one = Corpus.heavyHitters(docs, "text", k = 1, capacity = 2)
+      .collect().map(r => r.getString(0))
+    assert(one.sameElements(Array("alpha")))
+  }
+
+  test("count-min estimates never underestimate and stay within the collision bound") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 500).toDF("doc_id")
+      .withColumn("text",
+        concat_ws(" ", lit("hot"), lit("hot"), concat(lit("cold"), col("doc_id"))))
+    val counters = Corpus.cmsCounters(docs, "text", depth = 4, width = 1024)
+    val nCounters = counters.count()
+    assert(nCounters <= 4 * 1024, "counter table bounded by depth x width")
+    val queries = Seq("hot", "cold7", "cold499").toDF("token")
+    val est = Corpus.cmsEstimate(queries, counters, depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Map("hot" -> 1000L, "cold7" -> 1L, "cold499" -> 1L)
+    val n = 1500L
+    for ((tok, truth) <- exact) {
+      assert(est(tok) >= truth, s"$tok: count-min must never underestimate")
+      assert(est(tok) <= truth + 16 * n / 1024,
+        s"$tok: est ${est(tok)} beyond the collision bound over $truth")
+    }
+  }
 }
