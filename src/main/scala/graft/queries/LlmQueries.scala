@@ -331,7 +331,7 @@ object LlmQueries {
     * Embeddings.centroidsFromMeans). Shared by llm_emb_kmeans and
     * llm_emb_recall_ivf.
     */
-  private def lloydCentroids(
+  private[queries] def lloydCentroids(
       emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val means = Embeddings.centroidUpdate(
         Embeddings.assignClusters(emb, emb.filter(col("vec_id") < 8),
@@ -396,6 +396,43 @@ object LlmQueries {
        |FROM (SELECT query_id, neighbor_id, row_number() OVER
        |   (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM j)
        |WHERE rnk <= 3""".stripMargin
+
+  /** DuckDB replay of the streaming ANN screen
+    * (StreamingQueries.stream_ann_screen → EmbStream.annScreen): frozen
+    * codebook on the FULL corpus, inverted lists over the 90% index
+    * slice, 3-probe routing of the arriving 10% shard, cosine ≥ 0.2
+    * matches aggregated to one verdict row per shard vector. The
+    * streamed plan is stateless, so this batch replay is exact for any
+    * micro-batch carve-up.
+    */
+  private[queries] val streamAnnScreenSql: String =
+    s"""WITH $lloydCtes,
+       |idx AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+       |sh AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+       |s2 AS (SELECT i.vec_id, i.embedding, c2.centroid_id,
+       |   ${cosSql("i.embedding", "c2.cv")} AS sim
+       |  FROM idx i, c2),
+       |a2 AS (SELECT vec_id, embedding, centroid_id AS cluster_id
+       |  FROM (SELECT vec_id, embedding, centroid_id, row_number() OVER
+       |     (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rnk FROM s2)
+       |  WHERE rnk = 1),
+       |pr AS (SELECT vec_id AS query_id, cluster_id
+       |  FROM (SELECT sh.vec_id, c2.centroid_id AS cluster_id, row_number() OVER
+       |     (PARTITION BY sh.vec_id ORDER BY ${cosSql("sh.embedding", "c2.cv")} DESC,
+       |      c2.centroid_id) AS prnk
+       |    FROM sh, c2)
+       |  WHERE prnk <= 3),
+       |mm AS (SELECT pr.query_id, a2.vec_id AS neighbor_id,
+       |   ${cosSql("q.embedding", "a2.embedding")} AS sim
+       |  FROM pr JOIN a2 ON pr.cluster_id = a2.cluster_id
+       |   JOIN sh q ON q.vec_id = pr.query_id),
+       |g AS (SELECT query_id, count(*) AS n, max(sim) AS mx
+       |  FROM mm WHERE sim >= 0.2 GROUP BY 1)
+       |SELECT sh.vec_id,
+       | coalesce(g.n, 0) AS n_near,
+       | (g.n IS NULL) AS is_novel,
+       | round(coalesce(g.mx, 0.0) + 1e-6, 4) AS max_sim
+       |FROM sh LEFT JOIN g ON g.query_id = sh.vec_id""".stripMargin
 
   // ---- the queries ----
 
@@ -1611,6 +1648,40 @@ object LlmQueries {
           .select(col("query_id"), col("neighbor_id"), col("rnk"))
       },
       Some(ivfSearchSql)),
+
+    // Index MAINTENANCE: bucketed appends don't shuffle, so every
+    // ingest adds O(tasks x buckets) small files — compaction rewrites
+    // the lists table into a fresh generation with ONE file per bucket
+    // and swaps the catalog pointer. The gate runs build -> append
+    // (file sprawl) -> compact -> search: the search result must still
+    // match the from-scratch oracle row for row (compaction is
+    // invisible to queries), and the file-count claims ride along as
+    // booleans the oracle pins TRUE (q26_approx style).
+    QueryDef("llm_index_compact",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_ann")
+        val name = s"graft_ann.ivf_cpt_${math.abs(dir.hashCode)}"
+        val root = s"target/tmp/ivf_cpt_${math.abs(dir.hashCode)}"
+        Embeddings.writeIvfIndex(
+          emb.filter(col("vec_id") % 10 =!= 0), lloydCentroids(emb),
+          "vec_id", "embedding", name, root)
+        Embeddings.appendIvfShard(s, name,
+          emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding")
+        val lists = s"${name}_lists"
+        val before = graft.sources.TableMaintenance.dataFileCount(s, lists)
+        graft.sources.TableMaintenance.compactBucketedTable(
+          s, lists, s"$root/lists_gen${System.nanoTime()}")
+        val after = graft.sources.TableMaintenance.dataFileCount(s, lists)
+        Embeddings.ivfIndexedTopK(s, name, emb.filter(col("vec_id") < 50),
+            "vec_id", "embedding", nprobe = 3, k = 3)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"),
+            lit(after < before).as("files_shrunk"),
+            lit(after <= 16L).as("one_file_per_bucket"))
+      },
+      Some(s"""WITH __r AS ($ivfSearchSql)
+              |SELECT *, TRUE AS files_shrunk, TRUE AS one_file_per_bucket
+              |FROM __r""".stripMargin)),
 
     // Multimodal-adjacent: array-typed column stats per label.
     QueryDef("llm_emb_stats",

@@ -162,6 +162,39 @@ object StreamingQueries {
     (idxDst, shardDst)
   }
 
+  /** Stage the streaming-ANN-screen shard: embeddings with
+    * `vec_id % 10 == 0` as 5 single-file chunks so `maxFilesPerTrigger=1`
+    * makes each its own micro-batch. Chunking is by id — the screen is
+    * stateless, so the carve-up cannot affect results (the invariance
+    * the gate exists to demonstrate). The IVF index side is NOT staged
+    * here: the gate rebuilds it through `Embeddings.writeIvfIndex`
+    * (external tables, rebuild-into-place safe) because catalog entries
+    * don't survive a fresh JVM the way staged files do.
+    */
+  private def stageEmbScreen(s: SparkSession, sfDir: String): String = synchronized {
+    val sf = Paths.get(sfDir).getFileName.toString
+    val shardDst = s"/root/repo/target/stream_src/$sf-annscreen-shard"
+    if (!new java.io.File(s"$shardDst/_STAGED").exists()) {
+      val dstDir = new java.io.File(shardDst)
+      if (dstDir.exists()) graft.Fs.deleteRecursively(dstDir)
+      Files.createDirectories(Paths.get(shardDst))
+      val emb = QueryDef.table(s, sfDir, "embeddings")
+      for (c <- 0 until 5) {
+        val tmp = s"$shardDst/__tmp"
+        emb.filter(col("vec_id") % 10 === 0 && expr("vec_id div 10") % 5 === c)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath,
+          new java.io.File(shardDst, f"chunk$c%02d.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        graft.Fs.deleteRecursively(new java.io.File(tmp))
+      }
+      Files.createFile(Paths.get(s"$shardDst/_STAGED"))
+    }
+    shardDst
+  }
+
   /** Run a bounded streaming query to a memory sink and return its final
     * table. Trigger.AvailableNow processes every pending file in
     * micro-batches and stops — the batch-bounded execution of the same
@@ -395,6 +428,42 @@ object StreamingQueries {
              |   FROM events WHERE event_type = 'click')
              |SELECT e.event_id, e.user_id, c.click_id
              |FROM e JOIN c ON e.user_id = c.user_id
-             | AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts < e.ts""".stripMargin))
+             | AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts < e.ts""".stripMargin)),
+
+    // Streaming ANN ingest screening: embedding vectors STREAM in (5
+    // micro-batches) and are screened against the persisted IVF index
+    // for semantic near-duplicates — the embedding-space twin of
+    // stream_ingest_screen. Stateless by the same construction (the
+    // per-query argmax over the codebook moves into the row as an
+    // array_sort of the one-row broadcast codebook; no rank window, no
+    // state store), so the verdict per vector is batching-invariant
+    // and the batch oracle replays it exactly. Output: one verdict row
+    // per shard vector.
+    QueryDef("stream_ann_screen",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_ann")
+        val name = s"graft_ann.stream_ivf_${math.abs(dir.hashCode)}"
+        graft.llm.Embeddings.writeIvfIndex(
+          emb.filter(col("vec_id") % 10 =!= 0), LlmQueries.lloydCentroids(emb),
+          "vec_id", "embedding",
+          name, s"target/tmp/stream_ivf_${math.abs(dir.hashCode)}")
+        val shardDir = stageEmbScreen(s, dir)
+        val res = runBounded(s,
+          graft.streaming.EmbStream.annScreen(s, name,
+            graft.streaming.EmbStream.readEmbeddings(
+              s, shardDir, maxFilesPerTrigger = Some(1)),
+            "vec_id", "embedding", nprobe = 3, minCos = 0.2),
+          "graft_stream_ann", OutputMode.Append())
+        val matched = res.groupBy(col("query_id").as("vec_id"))
+          .agg(count(lit(1)).as("__n"), max(col("sim")).as("__mx"))
+        emb.filter(col("vec_id") % 10 === 0).select(col("vec_id"))
+          .join(matched, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("__n"), lit(0L)).as("n_near"),
+            (coalesce(col("__n"), lit(0L)) === 0).as("is_novel"),
+            round(coalesce(col("__mx"), lit(0.0)) + lit(1e-6), 4).as("max_sim"))
+      },
+      Some(LlmQueries.streamAnnScreenSql))
   )
 }
