@@ -139,6 +139,38 @@ object FormatQueries {
               |FROM read_parquet('$OracleRoot/orders_bucketed/*.parquet') o
               |JOIN read_parquet('$OracleRoot/lineitem_bucketed/*.parquet') l
               | ON o.o_orderkey = l.l_orderkey
-              |GROUP BY o_orderpriority""".stripMargin))
+              |GROUP BY o_orderpriority""".stripMargin)),
+
+    // Z-ORDER layout maintenance (sources/ZOrder): events rewritten as
+    // 8 Morton-ordered files over (user_id, ts) so min/max footer stats
+    // prune box queries on EITHER dimension — the OPTIMIZE ZORDER of
+    // lakehouse maintenance. The engine emits the read-back rows with
+    // the zval each row was PLACED by; the oracle re-reads the same
+    // files and recomputes the z-value from scratch (grid normalize in
+    // f64, interleave with shifts/ORs — ZOrder.zSql is the exact SQL
+    // twin), so a hash match proves both round-trip fidelity and the
+    // Morton math. ZOrderSpec separately audits the layout claim
+    // (disjoint per-file z ranges, per-file spans of BOTH dims far
+    // below the global range).
+    QueryDef("fmt_zorder_layout",
+      (s, dir) => {
+        val p = s"${checkedRoot(dir)}/events_zorder"
+        graft.sources.ZOrder.write(
+          QueryDef.table(s, dir, "events")
+            .select(col("event_id"), col("user_id"),
+              col("ts").cast("long").as("ts_sec"), col("value")),
+          Seq("user_id", "ts_sec"), bits = 12, p, files = 8)
+        s.read.parquet(p)
+          .filter(pmod(col("user_id"), lit(11)) === 0)
+          .select(col("event_id"), col("user_id"), col("ts_sec"), col("zval"))
+      },
+      Some(s"""WITH z AS (
+              |  SELECT * FROM read_parquet('$OracleRoot/events_zorder/*.parquet')),
+              |st AS (SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+              |  min(ts_sec) AS mnt, max(ts_sec) AS mxt FROM z)
+              |SELECT event_id, user_id, ts_sec,
+              | CAST(${graft.sources.ZOrder.zSql(Seq("user_id", "ts_sec"),
+                  Seq("mnu", "mnt"), Seq("mxu", "mxt"), 12)} AS BIGINT) AS zval
+              |FROM z, st WHERE user_id % 11 = 0""".stripMargin))
   )
 }
