@@ -19,16 +19,26 @@ object QueryDef {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong` is set at
-    * session build (GraftSession does). Convert with exact integer
-    * arithmetic to a micros timestamp (DuckDB's ns->us cast truncates
-    * identically, so oracle comparisons stay bit-equal).
+  /** events.parquet has stored `ts` as TIMESTAMP(NANOS) in some fixture
+    * generations (read as BIGINT nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`, set at session build) and as
+    * TIMESTAMP(MICROS) without a timezone in others (read natively as
+    * TIMESTAMP_NTZ). Normalize EITHER encoding to a session-zone micros
+    * timestamp with exact integer arithmetic: nanos -> `div 1000`
+    * truncation (DuckDB's ns->us cast truncates identically), NTZ -> a
+    * plain cast, which under the fixed UTC session zone relabels the
+    * same wall-clock instant bit-identically to DuckDB's reading.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
 
   /** Verify-layer rounding of double feature columns for hash-stable
     * DuckDB comparison — NOT part of the feature API (the engine's public
