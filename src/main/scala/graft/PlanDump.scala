@@ -48,6 +48,13 @@ object PlanDump {
     dump("llm_dup_spans", llm.Corpus.dupSpanStats(docs, "doc_id", "text"))
     dump("llm_scrub_spans", llm.Decontamination.scrubSpans(
       docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text"))
+    dump("llm_scrub_boilerplate", llm.Corpus.scrubDuplicateSpans(
+      docs, "doc_id", "text"))
+    dump("llm_lm_familiarity", llm.Corpus.familiarity(
+      docs, "doc_id", "text", minCount = 100L))
+    dump("llm_token_budget", llm.Sampling.tokenBudget(
+      docs, "doc_id", "text", "source", budgets = Map("src0" -> 700L),
+      defaultBudget = 400L))
     val idxDir = "/root/repo/target/tmp/plandump_sig_index"
     llm.Dedup.signatureIndex(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
       .write.mode("overwrite").parquet(idxDir)

@@ -324,4 +324,202 @@ object Corpus {
       .withColumn("dup_frac_raw",
         col("n_dup").cast("double") / col("n_spans").cast("double"))
   }
+
+  /** Corpus-internal boilerplate REMOVAL: excise every token covered by
+    * an n-token span that occurs in at least `minDocs` DISTINCT
+    * documents, and keep the rest — the action [[dupSpanStats]] only
+    * profiles. This is the CCNet/FineWeb shared-boilerplate scrub
+    * (navigation chrome, license headers, templated footers repeat
+    * across pages; the prose between them doesn't), corpus-internal
+    * where [[Decontamination.scrubSpans]] is vs an external eval set.
+    *
+    * Plan shape: one posexplode to (doc, position, md5-span-hash) rows;
+    * the census (`count(distinct docs)` per hash, via a (doc,hash)-
+    * distinct pre-aggregate) and the hit positions are both keyed on
+    * the fixed 32-char hash — span text never shuffles twice and the
+    * shuffle volume is O(tokens), independent of how hot a span is.
+    * Hit positions come back as one small array per affected document;
+    * the rebuild is the same per-row interval-coverage surgery as
+    * scrubSpans (a token survives iff NO duplicated span covers it).
+    * No broadcast of the duplicated-span set is needed — it flows
+    * through a distributed semi-join, so a 100-TB corpus with billions
+    * of duplicated spans never concentrates on the driver.
+    *
+    * Returns every document: (idCol, text, n_removed), text rebuilt
+    * from kept tokens under the corpus' single-space convention.
+    */
+  def scrubDuplicateSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs >= 2, s"need n > 0, minDocs >= 2: $n/$minDocs")
+    val id = col(idCol)
+    val grams = docs
+      .select(id, posexplode(
+        TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), n))
+        .as(Seq("__p", "__g")))
+      .select(id, col("__p"), md5(col("__g")).as("__h"))
+    val dupHashes = grams.select(id, col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"))
+    val hits = grams
+      .join(dupHashes, Seq("__h"), "left_semi")
+      .groupBy(id).agg(collect_list(col("__p")).as("__ps"))
+    val toks = TextFunctions.tokens(col(textCol))
+    val covered: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      j => exists(col("__ps"), p => p <= j && j <= p + lit(n - 1))
+    val kept = filter(sequence(lit(0), size(toks) - 1), j => !covered(j))
+    docs
+      .join(hits, Seq(idCol), "left")
+      .withColumn("__ps", coalesce(col("__ps"), array()))
+      .select(id,
+        array_join(transform(kept, j => element_at(toks, j + 1)), " ").as(textCol),
+        (size(toks) - size(kept)).as("n_removed"))
+  }
+
+  /** Unigram-LM familiarity scoring — the transcendental-free stand-in
+    * for CCNet's perplexity filter: score each document by how typical
+    * its tokens are of the corpus itself. Reported per document:
+    *
+    *  - `sum_cnt`  = Σ over token POSITIONS of the corpus-wide count of
+    *    that token (a long — exact, order-free, engine-independent);
+    *  - `familiarity_raw` = sum_cnt / (n_tokens · T) where T is the
+    *    corpus token total — the arithmetic mean of per-token unigram
+    *    probabilities. Gibberish / rare-token documents score low,
+    *    exactly the tail a perplexity filter cuts; unlike mean LOG
+    *    probability it needs no `ln`, so the score is ONE division of
+    *    exact integers and bit-identical across engines (same reason
+    *    [[tfidfTopK]] uses the log-free idf);
+    *  - `oov_frac_raw` = fraction of token positions whose token has
+    *    corpus count < `minCount` — the vocabulary-coverage filter,
+    *    with the vocabulary defined by a count THRESHOLD (not top-k)
+    *    so membership is deterministic under ties.
+    *
+    * Plan shape: one (doc, token) count shuffle, a token-keyed corpus
+    * aggregate joined back (equi-join on the token — AQE broadcasts it
+    * whenever the vocabulary is small), T as a broadcast 1-row cross
+    * join. Integer sums stay within long at 100 TB: a token's corpus
+    * count ≤ T ~ 10^13 and per-document positions ~ 10^4 keep
+    * `sum_cnt` ≤ 10^17 < 2^63.
+    */
+  def familiarity(
+      docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val id = col(idCol)
+    val tf = docs
+      .select(id, explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(id, col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    val cnt = tf.groupBy(col("token")).agg(sum(col("__tf")).as("__cnt"))
+    val total = cnt.agg(sum(col("__cnt")).as("__t"))
+    tf.join(cnt, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(id, col("__t"))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        sum(col("__tf") * col("__cnt")).as("sum_cnt"),
+        sum(when(col("__cnt") < minCount, col("__tf")).otherwise(lit(0L)))
+          .as("__oov"))
+      .select(id, col("n_tokens"), col("sum_cnt"),
+        (col("sum_cnt").cast("double") /
+          (col("n_tokens") * col("__t")).cast("double")).as("familiarity_raw"),
+        (col("__oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_frac_raw"))
+  }
+
+  /** Adjacent character-pair statistics — the scoring step of a BPE
+    * tokenizer-training iteration: every adjacent character pair inside
+    * every token occurrence, counted corpus-wide, top-k by count with
+    * lexicographic tie-break. One explode + one count shuffle; the
+    * aggregate output is bounded by the character alphabet squared
+    * (not the corpus), so the global rank window ranks a tiny frame at
+    * any scale. Output: (pair, cnt, rnk), rnk in [1, k].
+    */
+  def bpePairStats(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tok = col("__tok")
+    docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .filter(length(tok) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(tok) - 1),
+        i => tok.substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("pair"))))
+      .filter(col("rnk") <= k)
+  }
+
+  /** BPE tokenizer training: learn `merges` byte-pair merges from the
+    * corpus. Classic algorithm, Spark-shaped the way every distributed
+    * BPE trainer shapes it: the corpus collapses ONCE into the
+    * (distinct word, frequency) vocabulary table — the only pass whose
+    * cost scales with corpus bytes — and the merge loop then iterates
+    * over that vocabulary-sized frame only (cached; ~10^6–10^7 rows for
+    * a 100-TB web corpus, independent of corpus size). Each round is
+    * one weighted pair-count aggregate (output bounded by the live
+    * symbol alphabet squared) plus a 1-ROW argmax collect — the per-
+    * round driver traffic is one (pair, count) row, which is what makes
+    * an inherently sequential algorithm acceptable: k rounds = k small
+    * jobs over the vocab table, no corpus re-scan, no driver data path.
+    *
+    * Pair counting is per adjacent POSITION (overlaps count, as in
+    * reference BPE); merging is the standard left-to-right greedy fold
+    * ("aaa" under (a,a) → ["aa","a"]), expressed as a per-row
+    * `aggregate` over the symbol array. Ties break lexicographically on
+    * the pair for determinism. Stops early when no pair occurs twice.
+    *
+    * Returns the learned merge table in order: (step, left, right,
+    * merged, cnt).
+    */
+  def bpeTrain(
+      docs: DataFrame, textCol: String, merges: Int): Seq[(Int, String, String, String, Long)] = {
+    require(merges > 0, s"merges must be positive, got $merges")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) >= 1)
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__freq"))
+    var syms = words
+      .select(col("__freq"), transform(
+        sequence(lit(1), length(col("__tok"))),
+        i => col("__tok").substr(i, lit(1))).as("__syms"))
+      .cache()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= merges && !done) {
+      val best = syms
+        .filter(size(col("__syms")) >= 2) // 1-symbol words have no pairs
+        .select(col("__freq"), explode(transform(
+          sequence(lit(1), size(col("__syms")) - 1),
+          i => struct(element_at(col("__syms"), i).as("l"),
+            element_at(col("__syms"), i + 1).as("r")))).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("__freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect() // exactly ONE (pair, count) row per round
+      if (best.isEmpty || best(0).getLong(2) < 2) done = true
+      else {
+        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        val merged = l + r
+        learned += ((step, l, r, merged, best(0).getLong(2)))
+        val next = syms.select(col("__freq"), aggregate(
+          col("__syms"), array().cast("array<string>"),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+            .otherwise(concat(acc, array(s)))).as("__syms"))
+          .cache()
+        next.count() // materialize before dropping the parent from cache
+        syms.unpersist()
+        syms = next
+        step += 1
+      }
+    }
+    syms.unpersist()
+    learned.toSeq
+  }
 }

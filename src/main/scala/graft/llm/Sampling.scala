@@ -83,4 +83,44 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol)) < thr)
   }
+
+  /** TOKEN-budget mixture assembly: within each source, keep documents
+    * in deterministic hash order until the source's token budget is
+    * exhausted — the "100B tokens of web, 20B of code" step that rate-
+    * based [[mix]] can't express (rates control DOCUMENT counts; token
+    * budgets are what the training run actually consumes).
+    *
+    * A document is kept iff the cumulative token count of the documents
+    * ordered BEFORE it (md5 asc, id tie-break — same reproducibility
+    * contract as every sampler here: a pure function of ids, stable
+    * under partitioning, retries and engine swaps) is still under the
+    * budget; the budget overshoots by at most one document and never
+    * undershoots while eligible documents remain. Sources absent from
+    * `budgets` fall back to `defaultBudget`.
+    *
+    * Plan: one window partitioned by the source column — prefix sums
+    * scale out across sources exactly like [[Corpus.packChunks]]; the
+    * only shuffle is the window's source-keyed exchange, O(rows) with
+    * tiny rows (id, source, count, hash).
+    *
+    * Output: (idCol, sourceCol, n_tokens, tok_before) for kept rows;
+    * `tok_before` is the source's token consumption before this doc.
+    */
+  def tokenBudget(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      budgets: Map[String, Long], defaultBudget: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit("budget:"), col(idCol).cast("string")))
+    val bud = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget): Column) {
+      case (acc, (k, b)) => when(col(sourceCol) === lit(k), lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("__h"), col(idCol))
+    docs
+      .select(col(idCol), col(sourceCol),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens"), h.as("__h"))
+      .withColumn("tok_before",
+        sum(col("n_tokens").cast("long")).over(w) - col("n_tokens"))
+      .filter(col("tok_before") < bud)
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("tok_before"))
+  }
 }

@@ -424,6 +424,81 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Average-hash (aHash) bits for one decoded image: 8x8 grayscale
+    * grid by exact integer block averaging, one bit per cell
+    * (1 = cell mean >= global mean), packed row-major MSB-first.
+    *
+    * Integer-exact throughout: luma is the ITU-R BT.601 integer fold
+    * `(77R + 150G + 29B) >> 8`; cell edges are `floor(i·W/8)`; the
+    * mean comparison cross-multiplies (`cellSum · totalPx >=
+    * totalSum · cellPx`) so no division or float ever runs — the hash
+    * is bit-reproducible across JVMs and replayable by an oracle on
+    * formula-derived fixtures. (The cross-product stays inside a long
+    * for images up to ~180 MP.)
+    */
+  private[multimodal] def aHashBits(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val cellSum = new Array[Long](64)
+    val cellPx = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+          29 * (rgb & 0xff)) >> 8
+        val c = cy * 8 + x * 8 / w
+        cellSum(c) += luma
+        cellPx(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val totalSum = cellSum.sum
+    val totalPx = w.toLong * h
+    var bits = 0L
+    var c = 0
+    while (c < 64) {
+      if (cellPx(c) > 0 && cellSum(c) * totalPx >= totalSum * cellPx(c))
+        bits |= 1L << (63 - c)
+      c += 1
+    }
+    bits
+  }
+
+  /** Perceptual average-hash over REAL decoded pixels — the classic
+    * near-duplicate IMAGE signal: robust to re-encoding and uniform
+    * brightness shifts (bits are relative to the image's own mean), and
+    * the 64-bit output composes directly with the SimHash Hamming-band
+    * machinery for corpus-scale image near-dup joins. Decode + hash run
+    * inside one `mapPartitions` batch (same boundary as [[decode]]);
+    * unparsable or non-image payloads yield a null hash so malformed
+    * rows stay visible without killing the batch.
+    *
+    * Output: (asset_id, ahash_hex) — the packed bits as a 16-digit hex
+    * string (hex rather than a signed long keeps the oracle replay free
+    * of 2^63 overflow arithmetic).
+    */
+  def aHash(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("ahash_hex", StringType, nullable = true)))
+    implicit val enc = Encoders.row(outSchema)
+    assets.select(col("asset_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val hex =
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            if (img == null || img.getWidth <= 0 || img.getHeight <= 0) null
+            else f"${aHashBits(img)}%016x"
+          } catch { case _: java.io.IOException => null }
+        Row(r.getLong(0), hex)
+      }
+    }.toDF()
+  }
+
   /** Deterministic fake feature vector from the payload digest — the
     * shape (fixed-dim `array<float>`) a real embedding model would emit.
     */

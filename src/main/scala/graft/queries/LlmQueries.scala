@@ -737,6 +737,25 @@ object LlmQueries {
            |WHERE source != 'src0' AND ${bucket("rest")} < 2000""".stripMargin
       }),
 
+    // Token-budget mixture assembly: per source, keep docs in md5 order
+    // until the source's TOKEN budget is spent (doc-rate mixing can't
+    // express token budgets). Window prefix sum per source; all-integer
+    // arithmetic, oracle replays the same window.
+    QueryDef("llm_token_budget",
+      (s, dir) => Sampling.tokenBudget(
+        QueryDef.table(s, dir, "documents"), "doc_id", "text", "source",
+        budgets = Map("src0" -> 700L, "src1" -> 100L), defaultBudget = 400L),
+      Some("""WITH t AS (SELECT doc_id, source,
+             |   len(string_split(text, ' ')) AS n_tokens,
+             |   md5('budget:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+             |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+             |   ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_before
+             |  FROM t)
+             |SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+             | CAST(tok_before AS BIGINT) AS tok_before
+             |FROM c WHERE tok_before < (CASE WHEN source = 'src0' THEN 700
+             |   WHEN source = 'src1' THEN 100 ELSE 400 END)""".stripMargin)),
+
     // Deterministic 80/10/10 train/val/test split: hash-bucket ranges,
     // so assignment is reproducible and partition-independent; the
     // "split:" salt keeps it independent of upstream hash sampling on
@@ -1215,6 +1234,71 @@ object LlmQueries {
            | round(n_dup::DOUBLE / n_spans::DOUBLE + 0.000001, 4) AS dup_frac
            |FROM a""".stripMargin
       }),
+
+    // Corpus-internal boilerplate REMOVAL: excise tokens covered by a
+    // 5-token span occurring in >= 2 distinct documents, keep the rest
+    // (the action llm_dup_spans only profiles; corpus-internal twin of
+    // llm_decontaminate_scrub). Oracle replays the census + the same
+    // interval-coverage surgery.
+    QueryDef("llm_scrub_boilerplate",
+      (s, dir) => Corpus.scrubDuplicateSpans(
+        QueryDef.table(s, dir, "documents"), "doc_id", "text", n = 5, minDocs = 2),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |gr AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-4, 1)+1)) AS p FROM t),
+             |g AS (SELECT doc_id, p, md5(array_to_string(w[p:p+4], ' ')) AS h FROM gr),
+             |census AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+             |hits AS (SELECT doc_id, list(p) AS ps FROM (
+             |   SELECT DISTINCT doc_id, p FROM g JOIN census USING (h) WHERE nd >= 2)
+             |  GROUP BY doc_id),
+             |k AS (SELECT t.doc_id, t.w,
+             |   list_filter(range(1, len(t.w)+1), j ->
+             |     len(list_filter(coalesce(h.ps, CAST([] AS BIGINT[])),
+             |       p -> p <= j AND j <= p + 4)) = 0) AS kept
+             |  FROM t LEFT JOIN hits h ON h.doc_id = t.doc_id)
+             |SELECT doc_id,
+             | coalesce(array_to_string(list_transform(kept, j -> w[j]), ' '), '') AS text,
+             | CAST(len(w) - len(kept) AS INT) AS n_removed
+             |FROM k""".stripMargin)),
+
+    // Unigram-LM familiarity scoring (transcendental-free CCNet-style
+    // perplexity stand-in): mean per-token corpus probability + OOV
+    // fraction vs a count-thresholded vocabulary. All-integer until one
+    // final division, so the doubles are bit-identical cross-engine
+    // with NO rounding.
+    QueryDef("llm_lm_familiarity",
+      (s, dir) => Corpus.familiarity(
+          QueryDef.table(s, dir, "documents"), "doc_id", "text", minCount = 100L)
+        .select(col("doc_id"), col("n_tokens"), col("sum_cnt"),
+          col("familiarity_raw").as("familiarity"),
+          col("oov_frac_raw").as("oov_frac")),
+      Some(s"""WITH t AS ($toksCte),
+              |e AS (SELECT doc_id, unnest(w) AS token FROM t),
+              |tf AS (SELECT doc_id, token, count(*) AS tf FROM e GROUP BY 1, 2),
+              |c AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+              |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM c),
+              |a AS (SELECT tf.doc_id,
+              |   CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+              |   CAST(sum(tf.tf * c.cnt) AS BIGINT) AS sum_cnt,
+              |   CAST(sum(CASE WHEN c.cnt < 100 THEN tf.tf ELSE 0 END) AS BIGINT) AS n_oov
+              |  FROM tf JOIN c USING (token) GROUP BY 1)
+              |SELECT doc_id, n_tokens, sum_cnt,
+              | sum_cnt::DOUBLE / (n_tokens * tt)::DOUBLE AS familiarity,
+              | n_oov::DOUBLE / n_tokens::DOUBLE AS oov_frac
+              |FROM a CROSS JOIN n""".stripMargin)),
+
+    // BPE pair statistics: top-20 adjacent character pairs corpus-wide
+    // (the scoring step of a tokenizer-training iteration), count-desc
+    // with lexicographic tie-break.
+    QueryDef("llm_bpe_pairs",
+      (s, dir) => Corpus.bpePairStats(
+        QueryDef.table(s, dir, "documents"), "text", k = 20),
+      Some(s"""WITH t AS ($toksCte),
+              |e AS (SELECT unnest(w) AS tok FROM t),
+              |p AS (SELECT unnest(list_transform(range(1, len(tok)),
+              |   i -> tok[i:i+1])) AS pair FROM e WHERE len(tok) >= 2),
+              |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1),
+              |r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, pair) AS rnk FROM c)
+              |SELECT pair, cnt, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 20""".stripMargin)),
 
     // Rolling-hash document fingerprint (1-function MinHash).
     QueryDef("llm_fingerprint",

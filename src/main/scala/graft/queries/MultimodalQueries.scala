@@ -73,6 +73,37 @@ object MultimodalQueries {
              | CAST(1 AS INT) AS n_frames
              |FROM range(0, 48) t(i)""".stripMargin)),
 
+    // REAL pixel work: perceptual average-hash over decoded 8x8 fixture
+    // PNGs — pngBytes' pixel formula is replayed by the oracle through
+    // the same integer luma/threshold/bit-pack arithmetic, so the gate
+    // hash-checks genuine decoded PIXELS (dims alone can't produce the
+    // right 64 bits).
+    QueryDef("mm_ahash",
+      (s, dir) => {
+        import scala.jdk.CollectionConverters._
+        val rows: java.util.List[org.apache.spark.sql.Row] = (0 until 48).map { i =>
+          org.apache.spark.sql.Row(i.toLong, "image", Multimodal.pngBytes(8, 8, i))
+        }.asJava
+        Multimodal.aHash(s.createDataFrame(rows, Multimodal.assetSchema))
+      },
+      Some("""WITH px AS (
+             |  SELECT i.range AS i, k.range AS k,
+             |    (((k.range % 8) * 31 + (k.range // 8) * 17 + i.range * 7919) & 16777215) AS rgb
+             |  FROM range(0, 48) i, range(0, 64) k),
+             |l AS (SELECT i, k,
+             |   (77 * ((rgb >> 16) & 255) + 150 * ((rgb >> 8) & 255) + 29 * (rgb & 255)) >> 8 AS luma
+             |  FROM px),
+             |s AS (SELECT i, sum(luma) AS total FROM l GROUP BY 1),
+             |b AS (SELECT l.i, l.k,
+             |   CASE WHEN 64 * l.luma >= s.total THEN 1 ELSE 0 END AS bit
+             |  FROM l JOIN s USING (i)),
+             |h AS (SELECT i,
+             |   CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << (31 - k)) ELSE 0 END) AS BIGINT) AS hi,
+             |   CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (63 - k)) ELSE 0 END) AS BIGINT) AS lo
+             |  FROM b GROUP BY 1)
+             |SELECT CAST(i AS BIGINT) AS asset_id, printf('%08x%08x', hi, lo) AS ahash_hex
+             |FROM h""".stripMargin)),
+
     // REAL audio decode: deterministic fixture WAVs (frame counts from
     // a fixed formula, 8 kHz PCM) flow through the same batched decode
     // stage; javax.sound.sampled must recover the genuine frame count

@@ -740,4 +740,74 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
         s"$tok: est ${est(tok)} beyond the collision bound over $truth")
     }
   }
+
+  test("token budget keeps the md5-order prefix per source, overshoots by at most one doc") {
+    val docs = (0L to 5L).map(i => (i, ("w " * 10).trim, "s"))
+      .toDF("doc_id", "text", "source")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val order = (0L to 5L).sortBy(i => (md5hex(s"budget:$i"), i))
+    val out = Sampling.tokenBudget(docs, "doc_id", "text", "source",
+        budgets = Map("s" -> 25L))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // 10-token docs against a 25-token budget: tok_before 0/10/20 keep
+    // (20 < 25 overshoots to 30 total), 30+ drop
+    assert(out.keySet == order.take(3).toSet, s"kept ${out.keySet}, order $order")
+    assert(order.take(3).map(out) == Seq(0L, 10L, 20L), "prefix sums in hash order")
+    val none = Sampling.tokenBudget(docs, "doc_id", "text", "source", Map.empty)
+    assert(none.count() == 0, "absent source falls back to the 0 default budget")
+  }
+
+  test("boilerplate scrub excises exactly the cross-document spans, keeps the rest") {
+    val docs = Seq(
+      (0L, "x1 x2 foo bar baz qux quux a1 a2"),
+      (1L, "y1 foo bar baz qux quux y2 y3"),
+      (2L, "p q r s t u")
+    ).toDF("doc_id", "text")
+    val out = Corpus.scrubDuplicateSpans(docs, "doc_id", "text", n = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    // only "foo bar baz qux quux" occurs in two documents; each covered
+    // position dies, everything outside the interval survives in order
+    assert(out(0L) == (("x1 x2 a1 a2", 5)), s"doc 0: ${out(0L)}")
+    assert(out(1L) == (("y1 y2 y3", 5)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == (("p q r s t u", 0)), "untouched doc passes through")
+  }
+
+  test("familiarity is the exact integer mean token probability; oov vs the count threshold") {
+    val docs = Seq((0L, "a a b"), (1L, "a b c")).toDF("doc_id", "text")
+    // corpus counts: a=3 b=2 c=1, T=6
+    val out = Corpus.familiarity(docs, "doc_id", "text", minCount = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(0L) == ((3L, 8L, 8.0 / 18.0, 0.0)), s"doc 0: ${out(0L)}")
+    assert(out(1L) == ((3L, 6L, 6.0 / 18.0, 1.0 / 3.0)), s"doc 1: ${out(1L)}")
+  }
+
+  test("bpe pair stats count adjacent positions, skip 1-char tokens, tie-break on pair") {
+    val docs = Seq((0L, "aab ab x")).toDF("doc_id", "text")
+    val out = Corpus.bpePairStats(docs, "text", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("ab", 2L, 1), ("aa", 1L, 2)),
+      s"expected ab>aa and no pair from 'x': ${out.mkString(", ")}")
+  }
+
+  test("bpe training learns the classic merges and stops when no pair repeats") {
+    val docs = Seq((0L, "low low lower")).toDF("doc_id", "text")
+    val learned = Corpus.bpeTrain(docs, "text", merges = 5)
+    // l-o and o-w both occur 3x -> lexicographic tie-break picks (l,o);
+    // then (lo,w) 3x; then every remaining pair is a singleton -> stop
+    assert(learned == Seq((1, "l", "o", "lo", 3L), (2, "lo", "w", "low", 3L)),
+      s"got $learned")
+  }
+
+  test("bpe merge fold is left-to-right non-overlapping on runs") {
+    val docs = Seq((0L, "aaaa aaaa")).toDF("doc_id", "text")
+    val learned = Corpus.bpeTrain(docs, "text", merges = 3)
+    // 'aaaa' has 3 overlapping (a,a) positions x 2 occurrences = 6; the
+    // merge rewrites each word to [aa, aa]; the follow-up (aa,aa) pair
+    // occurs twice, merges to [aaaa]; then nothing repeats
+    assert(learned == Seq((1, "a", "a", "aa", 6L), (2, "aa", "aa", "aaaa", 2L)),
+      s"got $learned")
+  }
 }

@@ -175,4 +175,45 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(frames.keySet == Set(2L))
     assert(frames(2L) >= 1)
   }
+
+  private def grayImage(w: Int, h: Int)(v: (Int, Int) => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = v(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    img
+  }
+
+  test("aHash block-averages: left-black/right-white 16x16 gives the 0x0f stripe") {
+    val img = grayImage(16, 16)((x, _) => if (x < 8) 0 else 255)
+    assert(Multimodal.aHashBits(img) == 0x0f0f0f0f0f0f0f0fL)
+  }
+
+  test("aHash is invariant to a uniform brightness shift (bits are mean-relative)") {
+    def gradient(shift: Int) = grayImage(16, 16)((x, y) => 10 + x * 12 + y * 2 + shift)
+    assert(Multimodal.aHashBits(gradient(0)) == Multimodal.aHashBits(gradient(10)),
+      "a +10 shift moves every luma and the mean by exactly 10 — bits must not change")
+  }
+
+  test("aHash decodes real PNG bytes and yields null for garbage payloads") {
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] = Seq(
+      org.apache.spark.sql.Row(0L, "image", Multimodal.pngBytes(8, 8, 1)),
+      org.apache.spark.sql.Row(1L, "image", "not an image".getBytes("UTF-8"))
+    ).asJava
+    val out = Multimodal.aHash(spark.createDataFrame(rows, Multimodal.assetSchema))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // replicate the png pixel formula through the same integer fold
+    val lum = (0 until 64).map { k =>
+      val rgb = ((k % 8) * 31 + (k / 8) * 17 + 1 * 7919) & 0xffffff
+      (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+    }
+    val total = lum.map(_.toLong).sum
+    val expected = (0 until 64).foldLeft(0L) { (acc, k) =>
+      if (64L * lum(k) >= total) acc | (1L << (63 - k)) else acc
+    }
+    assert(out(0L).contains(f"$expected%016x"), s"got ${out(0L)}")
+    assert(out(1L).isEmpty, "garbage bytes must yield a null hash, not a crash")
+  }
 }
