@@ -400,7 +400,9 @@ object Corpus {
     * whenever the vocabulary is small), T as a broadcast 1-row cross
     * join. Integer sums stay within long at 100 TB: a token's corpus
     * count ≤ T ~ 10^13 and per-document positions ~ 10^4 keep
-    * `sum_cnt` ≤ 10^17 < 2^63.
+    * `sum_cnt` ≤ 10^17 < 2^63. Like [[tfidfTopK]], the lazy plan
+    * recomputes the (doc, token) counts once per consumer branch — a
+    * production caller should persist that frame when composing.
     */
   def familiarity(
       docs: DataFrame, idCol: String, textCol: String,
