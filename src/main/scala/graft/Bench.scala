@@ -78,15 +78,23 @@ object Bench {
       // the whole job), and every count() runs OUTSIDE the timed block
       // on the persisted result so no stage carries an extra job the
       // others don't — the md5-vs-fast delta stays a clean comparison.
-      var pairs: DataFrame = null
-      rs("dedup_pairs") = timed2 { pairs = graft.llm.Dedup.minhashPairs(docs, "doc_id", "text") }
-      counts("n_pairs") = pairs.count()
-      rs("dedup_cluster_keep") = timed2 {
-        graft.llm.Dedup.keepBest(docs, "doc_id", "text", pairs)
-          .write.mode(SaveMode.Overwrite).parquet(s"$scratch/out")
+      // SPARK_GRAFT_DEDUP_FAST=1 skips the md5 oracle-parity pair stage
+      // (its tax vs the fast hashes is already quantified at 200k docs
+      // in BENCH_dedup_r06b.json) and runs the CC→keep chain on the
+      // fast pairs instead — what makes a 10⁶-doc sweep affordable on
+      // a degraded host without dropping the cluster-at-volume evidence.
+      val fastOnly = sys.env.get("SPARK_GRAFT_DEDUP_FAST").contains("1")
+      if (!fastOnly) {
+        var pairs: DataFrame = null
+        rs("dedup_pairs") = timed2 { pairs = graft.llm.Dedup.minhashPairs(docs, "doc_id", "text") }
+        counts("n_pairs") = pairs.count()
+        rs("dedup_cluster_keep") = timed2 {
+          graft.llm.Dedup.keepBest(docs, "doc_id", "text", pairs)
+            .write.mode(SaveMode.Overwrite).parquet(s"$scratch/out")
+        }
+        counts("n_clusters") = spark.read.parquet(s"$scratch/out").count()
+        pairs.unpersist()
       }
-      counts("n_clusters") = spark.read.parquet(s"$scratch/out").count()
-      pairs.unpersist()
 
       // production fast-hash variant (xxhash64 base hashes, no hex
       // round-trip): the md5-vs-fast delta is the oracle-parity tax
@@ -95,6 +103,13 @@ object Bench {
         pairsFast = graft.llm.Dedup.minhashPairs(docs, "doc_id", "text", fastHash = true)
       }
       counts("n_pairs_fast") = pairsFast.count()
+      if (fastOnly) {
+        rs("dedup_cluster_keep_fast") = timed2 {
+          graft.llm.Dedup.keepBest(docs, "doc_id", "text", pairsFast)
+            .write.mode(SaveMode.Overwrite).parquet(s"$scratch/out")
+        }
+        counts("n_clusters_fast") = spark.read.parquet(s"$scratch/out").count()
+      }
       pairsFast.unpersist()
 
       // incremental: index 90% of the corpus once, then dedup the
