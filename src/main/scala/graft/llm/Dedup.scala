@@ -204,6 +204,50 @@ object Dedup {
       banded)
   }
 
+  /** Hamming near-dup pairs over ANY precomputed 64-bit fingerprint
+    * column (perceptual image aHash, rolling document fingerprints,
+    * externally-computed sketches …) — the generic form of
+    * [[simhashPairs]]'s candidate machinery: band the 64 bits into four
+    * 16-bit quarters, equi-join within quarter buckets (pigeonhole: two
+    * hashes within Hamming distance 3 MUST share one untouched quarter,
+    * so recall is exact for `maxHamming` <= 3; above 3 the bands are a
+    * recall/cost dial like every LSH here), drop mega-buckets (a
+    * degenerate quarter — e.g. all-dark images zeroing a band — would
+    * otherwise go quadratic), rescore candidates with the exact
+    * `bit_count(xor)` distance. Shuffle key is the 16-bit band value —
+    * O(rows·4), never pairwise.
+    *
+    * Output: (id_a, id_b, hamming), id_a < id_b, hamming <= maxHamming.
+    * EAGER (see the caching contract); `unpersist()` when done.
+    */
+  def hammingPairs64(
+      df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming $maxHamming")
+    val hashes = df.select(col(idCol).as("id"), col(hashCol).cast("long").as("__f"))
+    val banded = hashes.select(col("id"), col("__f"),
+      explode(array((0 until 4).map(q =>
+        concat(lit(s"q$q:"),
+          shiftright(col("__f"), 16 * q).bitwiseAND(lit(0xffffL)).cast("string"))): _*))
+        .as("band"))
+      .persist()
+    val keep = banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .select(col("band"))
+    val discriminative = banded.join(keep, Seq("band"), "left_semi")
+    scoped(
+      discriminative.as("a")
+        .join(discriminative.as("b"),
+          col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          bit_count(col("a.__f").bitwiseXOR(col("b.__f"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= lit(maxHamming)),
+      banded)
+  }
+
   /** 32-bit SimHash over a token-hash array column: the native one-pass
     * kernel when GraftExtensions is registered, else the HOF twin.
     */

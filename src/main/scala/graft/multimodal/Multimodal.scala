@@ -83,6 +83,43 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic in-memory GRAYSCALE PNG: gray(x, y) = 10 +
+    * ((x·13 + y·29 + seed·31) % 200) + shift. For gray pixels the
+    * BT.601 integer luma equals the gray value exactly
+    * ((77+150+29)·g >> 8 = g), so an oracle can replay [[aHash]] from
+    * this formula alone; a nonzero `shift` (≤ 46 — no channel clamp)
+    * produces a brightness-shifted twin whose aHash is bit-identical
+    * (bits are mean-relative) while the payload bytes differ — the
+    * near-dup fixture.
+    */
+  def grayPngBytes(w: Int, h: Int, seed: Int, shift: Int = 0): Array[Byte] = {
+    require(shift >= 0 && shift <= 46, s"shift $shift would clamp")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = 10 + ((x * 13 + y * 29 + seed * 31) % 200) + shift
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The [[aHash]] hex string as its signed 64-bit value (two 32-bit
+    * halves; the high half's shift wraps into the sign bit, which is
+    * exactly the packed representation [[aHashBits]] produced) — the
+    * join key for [[graft.llm.Dedup.hammingPairs64]].
+    */
+  def aHashLong(hex: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
+
   /** Real image header decode: width × height via JDK ImageIO
     * (PNG/JPEG/GIF/BMP). None when the bytes aren't a parsable image.
     */

@@ -104,6 +104,50 @@ object MultimodalQueries {
              |SELECT CAST(i AS BIGINT) AS asset_id, printf('%08x%08x', hi, lo) AS ahash_hex
              |FROM h""".stripMargin)),
 
+    // END-TO-END image near-dup: grayscale fixture PNGs in 24 pattern
+    // families x 2 (original + brightness-shifted twin with different
+    // BYTES), decoded and aHashed for real, then Hamming-banded into
+    // pairs by the generic 64-bit fingerprint machinery. The oracle
+    // replays pixels -> hash halves -> 16-bit bands -> mega-bucket
+    // guard -> exact xor/bit_count rescoring, so decode, hashing AND
+    // the candidate join are all hash-checked together.
+    QueryDef("mm_ahash_neardup",
+      (s, dir) => {
+        import scala.jdk.CollectionConverters._
+        val rows: java.util.List[org.apache.spark.sql.Row] = (0 until 48).map { i =>
+          org.apache.spark.sql.Row(i.toLong, "image",
+            Multimodal.grayPngBytes(8, 8, seed = i % 24, shift = if (i < 24) 0 else 8))
+        }.asJava
+        val hashed = Multimodal.aHash(s.createDataFrame(rows, Multimodal.assetSchema))
+          .select(col("asset_id"), Multimodal.aHashLong(col("ahash_hex")).as("ahash"))
+        graft.llm.Dedup.hammingPairs64(hashed, "asset_id", "ahash")
+      },
+      Some("""WITH px AS (
+             |  SELECT i.range AS i, k.range AS k,
+             |    10 + (((k.range % 8) * 13 + (k.range // 8) * 29 + (i.range % 24) * 31) % 200)
+             |      + (CASE WHEN i.range < 24 THEN 0 ELSE 8 END) AS luma
+             |  FROM range(0, 48) i, range(0, 64) k),
+             |s AS (SELECT i, sum(luma) AS total FROM px GROUP BY 1),
+             |b AS (SELECT px.i, px.k,
+             |   CASE WHEN 64 * px.luma >= s.total THEN 1 ELSE 0 END AS bit
+             |  FROM px JOIN s USING (i)),
+             |h AS (SELECT i,
+             |   CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << (31 - k)) ELSE 0 END) AS BIGINT) AS hi,
+             |   CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (63 - k)) ELSE 0 END) AS BIGINT) AS lo
+             |  FROM b GROUP BY 1),
+             |bands AS (SELECT i, hi, lo, unnest([
+             |   'q0:' || CAST(lo & 65535 AS VARCHAR),
+             |   'q1:' || CAST((lo >> 16) & 65535 AS VARCHAR),
+             |   'q2:' || CAST(hi & 65535 AS VARCHAR),
+             |   'q3:' || CAST((hi >> 16) & 65535 AS VARCHAR)]) AS band FROM h),
+             |d AS (SELECT * FROM bands WHERE band IN
+             |  (SELECT band FROM bands GROUP BY band HAVING count(*) <= 64)),
+             |p AS (SELECT DISTINCT a.i AS id_a, b.i AS id_b,
+             |   bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+             |  FROM d a JOIN d b ON a.band = b.band AND a.i < b.i)
+             |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             | CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 3""".stripMargin)),
+
     // REAL audio decode: deterministic fixture WAVs (frame counts from
     // a fixed formula, 8 kHz PCM) flow through the same batched decode
     // stage; javax.sound.sampled must recover the genuine frame count

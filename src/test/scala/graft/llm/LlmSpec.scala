@@ -741,6 +741,24 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hammingPairs64 finds pairs within distance 3, guards mega-buckets") {
+    val base = 0x0123456789abcdefL
+    val near = base ^ 0x7L          // 3 low bits flipped -> distance 3
+    val far = ~base                 // distance 64
+    val rows = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "fp")
+    val pairs = graft.llm.Dedup.hammingPairs64(rows, "id", "fp")
+    try {
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(got.toSeq == Seq((1L, 2L, 3)), s"got ${got.mkString(", ")}")
+    } finally pairs.unpersist()
+    // 70 identical fingerprints: every band is a mega-bucket (> 64), so
+    // the guard must drop them all rather than going quadratic
+    val hot = (0L until 70L).map(i => (i, 42L)).toDF("id", "fp")
+    val guarded = graft.llm.Dedup.hammingPairs64(hot, "id", "fp")
+    try assert(guarded.count() == 0, "mega-bucket must be dropped")
+    finally guarded.unpersist()
+  }
+
   test("token budget keeps the md5-order prefix per source, overshoots by at most one doc") {
     val docs = (0L to 5L).map(i => (i, ("w " * 10).trim, "s"))
       .toDF("doc_id", "text", "source")

@@ -196,6 +196,25 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       "a +10 shift moves every luma and the mean by exactly 10 — bits must not change")
   }
 
+  test("aHash + hammingPairs64 compose: shifted twin pairs, distinct patterns don't") {
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] = Seq(
+      org.apache.spark.sql.Row(0L, "image", Multimodal.grayPngBytes(8, 8, seed = 2)),
+      org.apache.spark.sql.Row(1L, "image", Multimodal.grayPngBytes(8, 8, seed = 2, shift = 20)),
+      org.apache.spark.sql.Row(2L, "image", Multimodal.grayPngBytes(8, 8, seed = 9))
+    ).asJava
+    val hashed = Multimodal.aHash(spark.createDataFrame(rows, Multimodal.assetSchema))
+      .select(col("asset_id"), Multimodal.aHashLong(col("ahash_hex")).as("ahash"))
+    val pairs = graft.llm.Dedup.hammingPairs64(hashed, "asset_id", "ahash")
+    try {
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got.contains((0L, 1L, 0)),
+        s"brightness-shifted twin must hash identically and pair: $got")
+      assert(!got.exists(p => p._2 == 2L || p._1 == 2L),
+        s"the distinct pattern must not pair: $got")
+    } finally pairs.unpersist()
+  }
+
   test("aHash decodes real PNG bytes and yields null for garbage payloads") {
     import scala.jdk.CollectionConverters._
     val rows: java.util.List[org.apache.spark.sql.Row] = Seq(
