@@ -55,6 +55,12 @@ object PlanDump {
     dump("llm_token_budget", llm.Sampling.tokenBudget(
       docs, "doc_id", "text", "source", budgets = Map("src0" -> 700L),
       defaultBudget = 400L))
+    dump("llm_bm25_topk", llm.Retrieval.bm25TopK(
+      docs, docs.filter(col("doc_id") < 5), "doc_id", "text",
+      "doc_id", "text", k = 10))
+    dump("llm_emb_prune", llm.Embeddings.prototypePrune(
+      emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      pruneNum = 1, pruneDenom = 4))
     val idxDir = "/root/repo/target/tmp/plandump_sig_index"
     llm.Dedup.signatureIndex(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
       .write.mode("overwrite").parquet(idxDir)

@@ -325,6 +325,57 @@ object Corpus {
         col("n_dup").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** Cross-source overlap matrix: for every pair of sources, how many
+    * distinct n-token spans they share and the Jaccard similarity of
+    * their span sets — the corpus-curation question "how much of source
+    * B is already in source A?" (web snapshots vs curated sets, CC dump
+    * N vs N+1) answered before any mixing weights are chosen. Zero-
+    * overlap pairs are emitted too (a complete matrix reads as
+    * evidence; an absent row reads as a bug).
+    *
+    * Scale shape: spans are md5-hashed and (source, hash)-distincted
+    * first, so the shuffle is O(distinct spans) with a fixed 32-char
+    * key; the pair join is keyed on the hash and produces at most
+    * |sources|² rows per shared hash (sources number in the dozens, so
+    * the join output per key is bounded — no mega-bucket hazard); the
+    * matrix assembly joins |sources|-row aggregates. Document text
+    * never shuffles.
+    *
+    * Jaccard is one integer-over-integer division (no rounding nudge
+    * needed for the VALUE; gate wrappers round for the hash compare).
+    *
+    * Output: (source_a, source_b, grams_a, grams_b, n_common,
+    * jaccard_raw), one row per unordered source pair with
+    * source_a < source_b.
+    */
+  def sourceOverlap(
+      docs: DataFrame, textCol: String, sourceCol: String,
+      n: Int = 5): DataFrame = {
+    val grams = docs
+      .select(col(sourceCol).as("source"), explode(
+        TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), n))
+        .as("__g"))
+      .select(col("source"), md5(col("__g")).as("__h"))
+      .distinct()
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val common = grams.as("a")
+      .join(grams.as("b"),
+        col("a.__h") === col("b.__h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("__nc"))
+    val matrix = sizes.as("sa")
+      .join(sizes.as("sb"), col("sa.source") < col("sb.source"))
+      .select(col("sa.source").as("source_a"), col("sb.source").as("source_b"),
+        col("sa.n_grams").as("grams_a"), col("sb.n_grams").as("grams_b"))
+    matrix
+      .join(common, Seq("source_a", "source_b"), "left")
+      .withColumn("n_common", coalesce(col("__nc"), lit(0L)))
+      .withColumn("jaccard_raw", col("n_common") /
+        (col("grams_a") + col("grams_b") - col("n_common")))
+      .select(col("source_a"), col("source_b"), col("grams_a"),
+        col("grams_b"), col("n_common"), col("jaccard_raw"))
+  }
+
   /** Corpus-internal boilerplate REMOVAL: excise every token covered by
     * an n-token span that occurs in at least `minDocs` DISTINCT
     * documents, and keep the rest — the action [[dupSpanStats]] only

@@ -169,6 +169,49 @@ object Embeddings {
     * itself never shuffles. Norms are hoisted once per side (1 dot per
     * (vector, centroid) pair).
     */
+  /** Prototype-proximity pruning (SSL-prototypes / SemDeDup-style data
+    * curation): assign each vector to its nearest centroid, rank WITHIN
+    * each cluster by similarity to the centroid (most prototypical
+    * first), and flag the top `pruneFrac` of every cluster for removal —
+    * the "too easy / redundant near the prototype" examples that
+    * data-pruning work drops first, keeping the cluster's harder tail.
+    *
+    * Cross-engine determinism: rank orders by the similarity ROUNDED to
+    * 6 decimals (+1e-6 nudge), ties to the smaller vector id — the sim
+    * doubles are bit-identical across engines (sequential-fold dot), but
+    * the rounded key keeps the rank stable under any future kernel that
+    * isn't. The per-cluster keep threshold uses integer arithmetic on
+    * the rank (`rnk > ceil(frac * n)` via `rnk * denom > num * n` with
+    * `pruneFrac = num/denom` rational) so no float comparison decides
+    * membership.
+    *
+    * Scale shape: [[assignClusters]]'s broadcast-and-argmax (corpus
+    * never shuffles) plus ONE window partitioned by cluster id — state
+    * per partition is a row counter; skewed clusters parallelize no
+    * worse than their size, which is the operator's semantics.
+    *
+    * Output: (idCol, cluster_id, sim, rnk, n_in_cluster, keep).
+    */
+  def prototypePrune(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      pruneNum: Int, pruneDenom: Int): DataFrame = {
+    require(pruneNum >= 0 && pruneDenom > 0 && pruneNum <= pruneDenom,
+      s"pruneFrac must be a rational in [0, 1], got $pruneNum/$pruneDenom")
+    val assigned = assignClusters(corpus, centroids, idCol, vecCol)
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val w = byCluster.orderBy(
+      round(col("sim") + lit(1e-6), 6).desc, col(idCol))
+    assigned
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_in_cluster", count(lit(1)).over(byCluster))
+      // keep iff rnk > frac * n  <=>  rnk * denom > num * n (exact in
+      // longs) — floor(frac * n) most-prototypical rows are pruned
+      .withColumn("keep",
+        col("rnk").cast("long") * lit(pruneDenom.toLong) >
+          lit(pruneNum.toLong) * col("n_in_cluster"))
+  }
+
   def assignClusters(
       corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {

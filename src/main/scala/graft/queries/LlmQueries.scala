@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Corpus, Decontamination, Dedup, Embeddings, Quantization, Sampling, TextFunctions => TF}
+import graft.llm.{Corpus, Decontamination, Dedup, Embeddings, Quantization, Retrieval, Sampling, TextFunctions => TF}
 import org.apache.spark.sql.functions._
 
 /** LLM training-data pipeline queries over the driver's `documents` and
@@ -1209,6 +1209,105 @@ object LlmQueries {
               | round(score + 0.000001, 4) AS tfidf, CAST(rnk AS INT) AS rnk
               |FROM r WHERE rnk <= 3""".stripMargin)),
 
+    // Okapi BM25 ranked retrieval (query-by-document: docs 0-4 retrieve
+    // their top-10 lexical matches). ln() is transcendental and the
+    // per-doc sum is order-dependent, so BOTH engines rank by the score
+    // rounded to 4 decimals (ties to the smaller doc id) — identical
+    // rank keys by construction; see Retrieval.bm25TopK.
+    QueryDef("llm_bm25_topk",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 5),
+            "doc_id", "text", "doc_id", "text", k = 10)
+          .select(col("query_id"), col("doc_id"),
+            round(col("bm25_raw") + lit(1e-6), 4).as("bm25"), col("rnk"))
+      },
+      Some(s"""WITH t AS ($toksCte),
+              |e AS (SELECT doc_id, unnest(w) AS token FROM t),
+              |tf AS (SELECT doc_id, token, count(*) AS tf_count FROM e GROUP BY 1, 2),
+              |l AS (SELECT doc_id, sum(tf_count) AS len FROM tf GROUP BY 1),
+              |st AS (SELECT count(*) AS n, avg(len) AS avgdl FROM l),
+              |d AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+              |q AS (SELECT DISTINCT doc_id AS query_id, unnest(w) AS token
+              |  FROM t WHERE doc_id < 5),
+              |sc AS (SELECT q.query_id, tf.doc_id,
+              |   ln(1.0 + (st.n - d.doc_freq + 0.5) / (d.doc_freq + 0.5)) *
+              |   ((tf.tf_count * (1.2 + 1.0)) / (tf.tf_count +
+              |     1.2 * ((1.0 - 0.75) + 0.75 * l.len / st.avgdl))) AS s
+              |  FROM q JOIN tf USING (token) JOIN d USING (token)
+              |   JOIN l ON l.doc_id = tf.doc_id CROSS JOIN st),
+              |g AS (SELECT query_id, doc_id, sum(s) AS bm25 FROM sc GROUP BY 1, 2),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              |   ORDER BY round(bm25 + 0.000001, 4) DESC, doc_id) AS rnk FROM g)
+              |SELECT query_id, doc_id, round(bm25 + 0.000001, 4) AS bm25,
+              | CAST(rnk AS INT) AS rnk
+              |FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // Hybrid retrieval: BM25 top-20 over documents fused with exact
+    // cosine top-20 over embeddings by reciprocal-rank fusion (the
+    // standard hybrid-search combiner — rank-only, so no score
+    // normalization across the incomparable BM25/cosine scales). The
+    // fixture ties the two modalities by id (doc_id = vec_id), as a
+    // corpus with per-document embeddings would. RRF doubles are
+    // bit-identical across engines (exact divisions, fixed-order
+    // two-term sum), so the fused rank needs no rounding.
+    QueryDef("llm_hybrid_rrf",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        val emb = QueryDef.table(s, dir, "embeddings")
+        val lex = Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 5),
+          "doc_id", "text", "doc_id", "text", k = 20, excludeSelf = true)
+        val vec = Embeddings.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+        Retrieval.rrfFuse(lex.select(col("query_id"), col("doc_id"), col("rnk")),
+            vec, "doc_id", k = 10)
+          .select(col("query_id"), col("doc_id"),
+            col("in_lex").cast("int").as("in_lex"),
+            col("in_vec").cast("int").as("in_vec"),
+            round(col("rrf_raw") + lit(1e-6), 6).as("rrf"), col("rnk"))
+      },
+      Some(s"""WITH t AS ($toksCte),
+              |e AS (SELECT doc_id, unnest(w) AS token FROM t),
+              |tf AS (SELECT doc_id, token, count(*) AS tf_count FROM e GROUP BY 1, 2),
+              |l AS (SELECT doc_id, sum(tf_count) AS len FROM tf GROUP BY 1),
+              |st AS (SELECT count(*) AS n, avg(len) AS avgdl FROM l),
+              |d AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+              |q AS (SELECT DISTINCT doc_id AS query_id, unnest(w) AS token
+              |  FROM t WHERE doc_id < 5),
+              |sc AS (SELECT q.query_id, tf.doc_id,
+              |   ln(1.0 + (st.n - d.doc_freq + 0.5) / (d.doc_freq + 0.5)) *
+              |   ((tf.tf_count * (1.2 + 1.0)) / (tf.tf_count +
+              |     1.2 * ((1.0 - 0.75) + 0.75 * l.len / st.avgdl))) AS s
+              |  FROM q JOIN tf USING (token) JOIN d USING (token)
+              |   JOIN l ON l.doc_id = tf.doc_id CROSS JOIN st
+              |  WHERE q.query_id != tf.doc_id),
+              |g AS (SELECT query_id, doc_id, sum(s) AS bm25 FROM sc GROUP BY 1, 2),
+              |lexr AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+              |   ORDER BY round(bm25 + 0.000001, 4) DESC, doc_id) AS rnk FROM g),
+              |vs AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+              |   ${cosSql("q.embedding", "c.embedding")} AS sim
+              |  FROM embeddings q, embeddings c
+              |  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id),
+              |vecr AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+              |   ORDER BY sim DESC, doc_id) AS rnk FROM vs),
+              |lexh AS (SELECT query_id, doc_id, 1.0 / (60.0 + rnk) AS sl
+              |  FROM lexr WHERE rnk <= 20),
+              |vech AS (SELECT query_id, doc_id, 1.0 / (60.0 + rnk) AS sv
+              |  FROM vecr WHERE rnk <= 20),
+              |f AS (SELECT coalesce(lx.query_id, v.query_id) AS query_id,
+              |   coalesce(lx.doc_id, v.doc_id) AS doc_id,
+              |   CAST(lx.sl IS NOT NULL AS INT) AS in_lex,
+              |   CAST(v.sv IS NOT NULL AS INT) AS in_vec,
+              |   coalesce(lx.sl, 0.0) + coalesce(v.sv, 0.0) AS rrf
+              |  FROM lexh lx FULL OUTER JOIN vech v
+              |   ON lx.query_id = v.query_id AND lx.doc_id = v.doc_id),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              |   ORDER BY rrf DESC, doc_id) AS rnk FROM f)
+              |SELECT query_id, doc_id, in_lex, in_vec,
+              | round(rrf + 0.000001, 6) AS rrf, CAST(rnk AS INT) AS rnk
+              |FROM r WHERE rnk <= 10""".stripMargin)),
+
     // Cross-document duplicated-span profile: per doc, how many of its
     // distinct 5-token spans occur in >= 2 documents (the Gopher/FineWeb
     // style dup-ngram boilerplate signal, corpus-internal — distinct from
@@ -1233,6 +1332,38 @@ object LlmQueries {
            | CAST(n_dup AS BIGINT) AS n_dup,
            | round(n_dup::DOUBLE / n_spans::DOUBLE + 0.000001, 4) AS dup_frac
            |FROM a""".stripMargin
+      }),
+
+    // Cross-source overlap matrix: distinct 5-token span sets per
+    // source, pairwise shared-span counts + Jaccard — "how much of
+    // source B is already in source A" before mixing weights are
+    // chosen. Zero-overlap pairs emitted too (complete matrix).
+    QueryDef("llm_source_overlap",
+      (s, dir) => Corpus.sourceOverlap(
+          QueryDef.table(s, dir, "documents"), "text", "source", n = 5)
+        .select(col("source_a"), col("source_b"), col("grams_a"),
+          col("grams_b"), col("n_common"),
+          round(col("jaccard_raw") + lit(1e-6), 6).as("jaccard")),
+      Some {
+        val sh5 = "list_transform(range(1, greatest(len(w)-4, 1)+1), " +
+          "i -> array_to_string(w[i:i+4], ' '))"
+        s"""WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+           |s0 AS (SELECT source, unnest($sh5) AS g FROM t),
+           |s AS (SELECT DISTINCT source, md5(g) AS h FROM s0),
+           |sz AS (SELECT source, count(*) AS n_grams FROM s GROUP BY 1),
+           |p AS (SELECT a.source AS source_a, b.source AS source_b,
+           |   count(*) AS nc
+           |  FROM s a JOIN s b ON a.h = b.h AND a.source < b.source
+           |  GROUP BY 1, 2),
+           |m AS (SELECT sa.source AS source_a, sb.source AS source_b,
+           |   sa.n_grams AS grams_a, sb.n_grams AS grams_b
+           |  FROM sz sa JOIN sz sb ON sa.source < sb.source)
+           |SELECT m.source_a, m.source_b, m.grams_a, m.grams_b,
+           | coalesce(p.nc, 0) AS n_common,
+           | round(coalesce(p.nc, 0) /
+           |   (m.grams_a + m.grams_b - coalesce(p.nc, 0)) + 0.000001, 6) AS jaccard
+           |FROM m LEFT JOIN p
+           | ON m.source_a = p.source_a AND m.source_b = p.source_b""".stripMargin
       }),
 
     // Corpus-internal boilerplate REMOVAL: excise tokens covered by a
@@ -1553,6 +1684,42 @@ object LlmQueries {
               |SELECT vec_id, CAST(centroid_id AS BIGINT) AS cluster_id,
               | round(sim + 0.000001, 4) AS sim
               |FROM r WHERE rnk = 1""".stripMargin)),
+
+    // Prototype-proximity pruning (SSL-prototypes / SemDeDup curation):
+    // per cluster, the quarter of vectors closest to the centroid (the
+    // "too prototypical / redundant" examples) are flagged keep=0. The
+    // keep decision is integer arithmetic on the rank (rnk*4 > 1*n), so
+    // no float comparison decides membership; the rank key is the
+    // rounded sim (both engines), ties to the smaller vec id.
+    QueryDef("llm_emb_prune",
+      (s, dir) => {
+        val emb = QueryDef.table(s, dir, "embeddings")
+        Embeddings.prototypePrune(emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", pruneNum = 1, pruneDenom = 4)
+          .select(col("vec_id"), col("cluster_id"),
+            round(col("sim") + lit(1e-6), 4).as("sim"),
+            col("rnk"), col("n_in_cluster"),
+            col("keep").cast("int").as("keep"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+              |  FROM embeddings WHERE vec_id < 8),
+              |s AS (SELECT e.vec_id, c.centroid_id,
+              |   ${cosSql("e.embedding", "c.cv")} AS sim
+              |  FROM embeddings e, c),
+              |r AS (SELECT vec_id, centroid_id, sim, row_number() OVER
+              |   (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rnk
+              |  FROM s),
+              |a AS (SELECT vec_id, centroid_id AS cluster_id, sim
+              |  FROM r WHERE rnk = 1),
+              |kk AS (SELECT vec_id, cluster_id, sim,
+              |   row_number() OVER (PARTITION BY cluster_id
+              |    ORDER BY round(sim + 0.000001, 6) DESC, vec_id) AS rnk,
+              |   count(*) OVER (PARTITION BY cluster_id) AS n_in_cluster
+              |  FROM a)
+              |SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+              | round(sim + 0.000001, 4) AS sim, CAST(rnk AS INT) AS rnk,
+              | n_in_cluster, CAST(rnk * 4 > 1 * n_in_cluster AS INT) AS keep
+              |FROM kk""".stripMargin)),
 
     // The Lloyd UPDATE step on top of the assignment — together they
     // make k-means iterable: per-cluster component means in long form

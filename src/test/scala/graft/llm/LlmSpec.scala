@@ -554,6 +554,28 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("prototype pruning drops exactly floor(n/4) per cluster, centroids first") {
+    import org.apache.spark.sql.functions.col
+    val rng = new java.util.SplittableRandom(13)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(16)(rng.nextDouble().toFloat * 2 - 1))).toDF("vec_id", "embedding")
+    val out = Embeddings.prototypePrune(vecs, vecs.filter(col("vec_id") < 4),
+        "vec_id", "embedding", pruneNum = 1, pruneDenom = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getLong(4), r.getBoolean(5)))
+    assert(out.length == 40, "every vector gets a verdict")
+    val byCluster = out.groupBy(_._2)
+    for ((cid, rows) <- byCluster) {
+      val n = rows.head._4
+      assert(rows.forall(_._4 == n) && n == rows.length)
+      assert(rows.count(!_._5) == n / 4, s"cluster $cid: floor(n/4) pruned")
+      // rank 1 is the centroid itself (self-cosine 1); pruned iff n >= 4
+      val rank1 = rows.find(_._3 == 1).get
+      assert(rank1._1 == cid, s"cluster $cid rank-1 must be its centroid")
+      if (n >= 4) assert(!rank1._5, "most-prototypical row pruned first")
+    }
+  }
+
   test("centroid update: means move toward assigned members, k-means iterates") {
     import org.apache.spark.sql.functions.col
     // two tight planted clusters around orthogonal axes
@@ -800,6 +822,21 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
     assert(out(0L) == ((3L, 8L, 8.0 / 18.0, 0.0)), s"doc 0: ${out(0L)}")
     assert(out(1L) == ((3L, 6L, 6.0 / 18.0, 1.0 / 3.0)), s"doc 1: ${out(1L)}")
+  }
+
+  test("source overlap matrix: shared spans counted, zero pairs emitted, jaccard exact") {
+    val docs = Seq(
+      (0L, "a b c", "A"), (1L, "a b d", "B"), (2L, "x y z", "C")
+    ).toDF("doc_id", "text", "src")
+    val out = Corpus.sourceOverlap(docs, "text", "src", n = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")),
+      s"complete matrix expected: ${out.keySet}")
+    assert(out(("A", "B")) == ((2L, 2L, 1L, 1.0 / 3.0)), out(("A", "B")))
+    assert(out(("A", "C")) == ((2L, 2L, 0L, 0.0)))
+    assert(out(("B", "C")) == ((2L, 2L, 0L, 0.0)))
   }
 
   test("bpe pair stats count adjacent positions, skip 1-char tokens, tie-break on pair") {
