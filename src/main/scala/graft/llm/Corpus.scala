@@ -526,6 +526,55 @@ object Corpus {
     * Returns the learned merge table in order: (step, left, right,
     * merged, cnt).
     */
+  /** APPLY a trained BPE merge table to the corpus — the inference half
+    * of [[bpeTrain]]: words split to character symbols, each merge
+    * `(l, r) → l+r` applied in rank order as the same left-to-right
+    * greedy non-overlapping fold the trainer uses, per-word tokens
+    * concatenated in word order.
+    *
+    * Dispatch mirrors [[Embeddings.dot]]: when the engine's functions
+    * are registered (GraftSession always registers) the native
+    * codegen'd [[graft.plans.BpeEncode]] runs — the merge table rides
+    * once per stage binary and each row is one tight loop per merge,
+    * which is the only shape that survives a production-sized table
+    * (10^4–10^5 merges). Otherwise a chain of `aggregate` HOF folds
+    * (one per merge — identical algorithm, equivalence-spec-pinned) is
+    * built, valid for SMALL merge lists only: the expression tree
+    * grows linearly in merges.
+    *
+    * Per-row, shuffle-free — tokenization rides the scan like quality
+    * scoring. Output: (idCol, n_tokens, bpe_text) with `bpe_text` the
+    * space-joined token stream (token text can't contain spaces: words
+    * are space-split first, merges only concatenate within a word).
+    */
+  def bpeEncode(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks =
+      if (graft.plans.GraftExtensions.registered(docs.sparkSession))
+        call_function("graft_bpe_encode", col(textCol),
+          typedLit(merges.map(_._1)), typedLit(merges.map(_._2)))
+      else {
+        val perWord = transform(split(col(textCol), " "), w => {
+          val chars = when(length(w) === 0, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), length(w)),
+              i => w.substr(i, lit(1))))
+          merges.foldLeft(chars) { case (arr, (l, r)) =>
+            aggregate(arr, array().cast("array<string>"),
+              (acc, s) => when(
+                size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                .otherwise(concat(acc, array(s))))
+          }
+        })
+        flatten(perWord)
+      }
+    docs
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("n_tokens"),
+        array_join(col("__toks"), " ").as("bpe_text"))
+  }
+
   def bpeTrain(
       docs: DataFrame, textCol: String, merges: Int): Seq[(Int, String, String, String, Long)] = {
     require(merges > 0, s"merges must be positive, got $merges")

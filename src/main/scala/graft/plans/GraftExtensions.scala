@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomMightContain)
     ext.injectFunction(GraftExtensions.dot)
     ext.injectFunction(GraftExtensions.pqAdc)
+    ext.injectFunction(GraftExtensions.bpeEncode)
   }
 }
 
@@ -88,10 +89,32 @@ object GraftExtensions {
     }
   )
 
+  val bpeEncode: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bpe_encode"),
+    new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3, "graft_bpe_encode(text, lefts, rights)")
+      def strings(e: Expression, what: String): Seq[String] = e match {
+        case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType, _)) =>
+          v.toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+        case other => throw new IllegalArgumentException(
+          s"$what must be an array<string> literal, got $other")
+      }
+      val l = strings(args(1), "lefts")
+      val r = strings(args(2), "rights")
+      require(l.length == r.length,
+        s"lefts/rights must pair up, got ${l.length}/${r.length}")
+      BpeEncode(args.head, l.zip(r))
+    }
+  )
+
   /** Every function [[GraftExtensions.apply]] injects. */
   val allFunctionNames: Seq[String] =
     Seq("graft_minhash_sig", "graft_simhash", "graft_bloom_might_contain",
-      "graft_dot", "graft_pq_adc")
+      "graft_dot", "graft_pq_adc", "graft_bpe_encode")
 
   /** Per-session answer cache: dispatch sites construct many Columns per
     * plan (`Embeddings.dot` builds bits×dot calls for one projection),

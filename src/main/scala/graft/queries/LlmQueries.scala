@@ -1431,6 +1431,51 @@ object LlmQueries {
               |r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, pair) AS rnk FROM c)
               |SELECT pair, cnt, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 20""".stripMargin)),
 
+    // BPE tokenizer APPLICATION: a 4-merge table (top corpus pairs; the
+    // third consumes the second's output, so merge chaining is gated)
+    // encoded by the native graft_bpe_encode expression. The oracle
+    // replays the same per-word left-to-right fold with a recursive CTE
+    // over (merge step, symbol position) on the DISTINCT word set, then
+    // reassembles documents in word order — tokenization, merge order,
+    // run non-overlap and doc reassembly all hash-checked.
+    QueryDef("llm_bpe_encode",
+      (s, dir) => Corpus.bpeEncode(
+        QueryDef.table(s, dir, "documents"), "doc_id", "text",
+        Seq("e" -> "r", "o" -> "w", "r" -> "ow", "s" -> "t")),
+      Some(s"""WITH RECURSIVE
+              |m AS (SELECT * FROM (VALUES (1, 'e', 'r', 'er'),
+              |   (2, 'o', 'w', 'ow'), (3, 'r', 'ow', 'row'),
+              |   (4, 's', 't', 'st')) AS mt(step, l, r, mg)),
+              |t AS ($toksCte),
+              |w0 AS (SELECT DISTINCT word FROM (SELECT unnest(w) AS word FROM t)),
+              |w1 AS (SELECT word, list_transform(range(1, length(word)+1),
+              |   i -> substring(word, i, 1)) AS chars FROM w0),
+              |rec AS (
+              |  SELECT word, 1 AS step, chars AS cur, 1 AS pos,
+              |    CAST([] AS VARCHAR[]) AS acc FROM w1
+              |  UNION ALL
+              |  SELECT word,
+              |    CASE WHEN pos <= len(cur) THEN rec.step ELSE rec.step + 1 END,
+              |    CASE WHEN pos <= len(cur) THEN cur ELSE acc END,
+              |    CASE WHEN pos <= len(cur) THEN pos + 1 ELSE 1 END,
+              |    CASE WHEN pos <= len(cur) THEN
+              |      CASE WHEN len(acc) > 0 AND acc[-1] = m.l AND cur[pos] = m.r
+              |           THEN acc[1:len(acc)-1] || [m.mg]
+              |           ELSE acc || [cur[pos]] END
+              |      ELSE CAST([] AS VARCHAR[]) END
+              |  FROM rec JOIN m ON m.step = rec.step
+              |  WHERE NOT (pos > len(cur) AND rec.step = 4)),
+              |fin AS (SELECT word, acc AS toks FROM rec
+              |  WHERE step = 4 AND pos = len(cur) + 1),
+              |wx AS (SELECT doc_id, unnest(range(1, len(w)+1)) AS ord, w FROM t),
+              |wt AS (SELECT wx.doc_id, wx.ord, f.toks
+              |  FROM wx JOIN fin f ON f.word = wx.w[wx.ord]),
+              |d AS (SELECT doc_id, flatten(list(toks ORDER BY ord)) AS toks
+              |  FROM wt GROUP BY 1)
+              |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+              | array_to_string(toks, ' ') AS bpe_text
+              |FROM d""".stripMargin)),
+
     // Rolling-hash document fingerprint (1-function MinHash).
     QueryDef("llm_fingerprint",
       (s, dir) => QueryDef.table(s, dir, "documents")
