@@ -68,17 +68,30 @@ object Retrieval {
       .select(col(queryIdCol).as("query_id"),
         explode(TextFunctions.tokens(col(queryTextCol))).as("token"))
       .distinct()
-    val idf = ln(lit(1.0) +
-      (col("__n") - col("doc_freq") + lit(0.5)) / (col("doc_freq") + lit(0.5)))
-    val tfNorm = (col("tf_count") * lit(k1 + 1.0)) /
-      (col("tf_count") + lit(k1) *
-        (lit(1.0 - b) + lit(b) * col("__len") / col("__avgdl")))
     val matched0 = withLen
       .join(broadcast(qTerms), Seq("token"))
       .join(docFreq, Seq("token"))
       .crossJoin(broadcast(stats))
     val matched =
       if (excludeSelf) matched0.filter(col("query_id") =!= id) else matched0
+    scoreTopK(matched, idCol, k, k1, b)
+  }
+
+  /** The shared BM25 scoring + rank tail: consumes candidate rows
+    * carrying (query_id, idCol, tf_count, __len, doc_freq, __n,
+    * __avgdl) — used verbatim by both the from-scratch [[bm25TopK]]
+    * and the persisted-index [[bm25IndexedTopK]] so the two paths
+    * cannot drift.
+    */
+  private def scoreTopK(
+      matched: DataFrame, idCol: String, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    val id = col(idCol)
+    val idf = ln(lit(1.0) +
+      (col("__n") - col("doc_freq") + lit(0.5)) / (col("doc_freq") + lit(0.5)))
+    val tfNorm = (col("tf_count") * lit(k1 + 1.0)) /
+      (col("tf_count") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("__len") / col("__avgdl")))
     val scored = matched
       .select(col("query_id"), id, (idf * tfNorm).as("__s"))
       .groupBy(col("query_id"), id)
@@ -89,6 +102,108 @@ object Retrieval {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), id, col("bm25_raw"), col("rnk"))
+  }
+
+  /** Persist the BM25 lexical index — the retrieval twin of the dedup
+    * signature index and the IVF index: three catalog tables, ALL
+    * append-only, so daily ingest never rewrites anything:
+    *
+    *   - `<name>_tf` (id, token, tf_count, len): the per-(doc, term)
+    *     postings with the document length DENORMALIZED onto each row
+    *     (one long per row buys search the right to skip the per-doc
+    *     length window entirely);
+    *   - `<name>_df` (token, doc_freq): document-frequency PARTIALS,
+    *     bucketed by token — each shard appends its own counts and
+    *     search re-aggregates, which the bucketing makes exchange-free;
+    *   - `<name>_stats` (n_docs, sum_len): one partial row per
+    *     build/append; search sums them. Storing the integer SUM (not
+    *     avgdl) keeps append exact: n and sum_len add, and
+    *     sum_len/n at search equals the from-scratch `avg(len)`
+    *     bit-for-bit while total tokens < 2^53 (integer-valued double
+    *     accumulation is exact there).
+    *
+    * Corpus text is tokenized ONCE at build/append; query batches then
+    * search without touching it. Id disjointness of appended shards is
+    * the caller's contract, as with the other indexes.
+    */
+  def writeBm25Index(
+      docs: DataFrame, idCol: String, textCol: String,
+      name: String, pathRoot: String, buckets: Int = 16): Unit = {
+    val (tf, dfPart, stats) = indexParts(docs, idCol, textCol)
+    tf.write.mode("overwrite").format("parquet")
+      .option("path", s"$pathRoot/tf").saveAsTable(s"${name}_tf")
+    dfPart.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "token")
+      .option("path", s"$pathRoot/df").saveAsTable(s"${name}_df")
+    stats.write.mode("overwrite").format("parquet")
+      .option("path", s"$pathRoot/stats").saveAsTable(s"${name}_stats")
+  }
+
+  /** Daily-ingest append: tokenize only the arriving shard and APPEND
+    * its postings, df partials and stats partial — no table is
+    * rewritten, no existing row is read. Search over the result is
+    * IDENTICAL to a full rebuild (df/stats are additive, postings are
+    * per-doc), the property `llm_bm25_indexed`'s gate pins by reusing
+    * the from-scratch oracle over the whole corpus.
+    */
+  def appendBm25Shard(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      shard: DataFrame, idCol: String, textCol: String): Unit = {
+    val (tf, dfPart, stats) = indexParts(shard, idCol, textCol)
+    tf.write.mode("append").format("parquet").insertInto(s"${name}_tf")
+    dfPart.write.mode("append").format("parquet").insertInto(s"${name}_df")
+    stats.write.mode("append").format("parquet").insertInto(s"${name}_stats")
+  }
+
+  private def indexParts(
+      docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val id = col(idCol)
+    val tf = docs
+      .select(id, explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(id, col("token"))
+      .agg(count(lit(1)).as("tf_count"))
+      .withColumn("len", sum(col("tf_count")).over(Window.partitionBy(id)))
+      .select(id.as("id"), col("token"), col("tf_count"), col("len"))
+    val dfPart = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+    val stats = tf.groupBy(col("id")).agg(max(col("len")).as("__l"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__l")).as("sum_len"))
+    (tf, dfPart, stats)
+  }
+
+  /** BM25 search against the persisted index: postings join the
+    * broadcast query terms, df partials re-aggregate (exchange-free on
+    * the bucketed table), the stats partials sum to one broadcast row —
+    * then the SAME [[scoreTopK]] tail as the from-scratch path. Output
+    * matches [[bm25TopK]] with the id column named `idCol`.
+    */
+  def bm25IndexedTopK(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, idCol: String = "doc_id",
+      k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame = {
+    val tf = spark.table(s"${name}_tf")
+      .select(col("id").as(idCol), col("token"), col("tf_count"),
+        col("len").as("__len"))
+    val docFreq = spark.table(s"${name}_df")
+      .groupBy(col("token")).agg(sum(col("doc_freq")).as("doc_freq"))
+    val stats = spark.table(s"${name}_stats")
+      .agg(sum(col("n_docs")).as("__n"), sum(col("sum_len")).as("__sl"))
+      .select(col("__n"),
+        (col("__sl").cast("double") / col("__n").cast("double")).as("__avgdl"))
+    val qTerms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(TextFunctions.tokens(col(queryTextCol))).as("token"))
+      .distinct()
+    val matched0 = tf
+      .join(broadcast(qTerms), Seq("token"))
+      .join(docFreq, Seq("token"))
+      .crossJoin(broadcast(stats))
+    val matched =
+      if (excludeSelf) matched0.filter(col("query_id") =!= col(idCol))
+      else matched0
+    scoreTopK(matched, idCol, k, k1, b)
   }
 
   /** Reciprocal-rank fusion of two ranked candidate lists (Cormack et

@@ -26,6 +26,33 @@ object LlmQueries {
   private val charShingles4 =
     "list_transform(range(1, greatest(length(text)-3, 1)+1), i -> substring(text, i, 4))"
 
+  /** From-scratch Okapi BM25 search (docs 0-4 query the corpus, k=10,
+    * k1=1.2, b=0.75) — the shared oracle of `llm_bm25_topk` AND
+    * `llm_bm25_indexed` (the persisted index must be invisible to
+    * search results). Both engines rank by the 4-decimal-rounded score.
+    */
+  private val bm25SearchSql =
+    s"""WITH t AS ($toksCte),
+       |e AS (SELECT doc_id, unnest(w) AS token FROM t),
+       |tf AS (SELECT doc_id, token, count(*) AS tf_count FROM e GROUP BY 1, 2),
+       |l AS (SELECT doc_id, sum(tf_count) AS len FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS n, avg(len) AS avgdl FROM l),
+       |d AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+       |q AS (SELECT DISTINCT doc_id AS query_id, unnest(w) AS token
+       |  FROM t WHERE doc_id < 5),
+       |sc AS (SELECT q.query_id, tf.doc_id,
+       |   ln(1.0 + (st.n - d.doc_freq + 0.5) / (d.doc_freq + 0.5)) *
+       |   ((tf.tf_count * (1.2 + 1.0)) / (tf.tf_count +
+       |     1.2 * ((1.0 - 0.75) + 0.75 * l.len / st.avgdl))) AS s
+       |  FROM q JOIN tf USING (token) JOIN d USING (token)
+       |   JOIN l ON l.doc_id = tf.doc_id CROSS JOIN st),
+       |g AS (SELECT query_id, doc_id, sum(s) AS bm25 FROM sc GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |   ORDER BY round(bm25 + 0.000001, 4) DESC, doc_id) AS rnk FROM g)
+       |SELECT query_id, doc_id, round(bm25 + 0.000001, 4) AS bm25,
+       | CAST(rnk AS INT) AS rnk
+       |FROM r WHERE rnk <= 10""".stripMargin
+
   /** MinHash of shingle column `c` with salt `s` (string form — used by
     * the fingerprint op)
     */
@@ -1213,7 +1240,8 @@ object LlmQueries {
     // their top-10 lexical matches). ln() is transcendental and the
     // per-doc sum is order-dependent, so BOTH engines rank by the score
     // rounded to 4 decimals (ties to the smaller doc id) — identical
-    // rank keys by construction; see Retrieval.bm25TopK.
+    // rank keys by construction; see Retrieval.bm25TopK. The oracle is
+    // shared with llm_bm25_indexed (bm25SearchSql below the defs).
     QueryDef("llm_bm25_topk",
       (s, dir) => {
         val docs = QueryDef.table(s, dir, "documents")
@@ -1222,26 +1250,29 @@ object LlmQueries {
           .select(col("query_id"), col("doc_id"),
             round(col("bm25_raw") + lit(1e-6), 4).as("bm25"), col("rnk"))
       },
-      Some(s"""WITH t AS ($toksCte),
-              |e AS (SELECT doc_id, unnest(w) AS token FROM t),
-              |tf AS (SELECT doc_id, token, count(*) AS tf_count FROM e GROUP BY 1, 2),
-              |l AS (SELECT doc_id, sum(tf_count) AS len FROM tf GROUP BY 1),
-              |st AS (SELECT count(*) AS n, avg(len) AS avgdl FROM l),
-              |d AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
-              |q AS (SELECT DISTINCT doc_id AS query_id, unnest(w) AS token
-              |  FROM t WHERE doc_id < 5),
-              |sc AS (SELECT q.query_id, tf.doc_id,
-              |   ln(1.0 + (st.n - d.doc_freq + 0.5) / (d.doc_freq + 0.5)) *
-              |   ((tf.tf_count * (1.2 + 1.0)) / (tf.tf_count +
-              |     1.2 * ((1.0 - 0.75) + 0.75 * l.len / st.avgdl))) AS s
-              |  FROM q JOIN tf USING (token) JOIN d USING (token)
-              |   JOIN l ON l.doc_id = tf.doc_id CROSS JOIN st),
-              |g AS (SELECT query_id, doc_id, sum(s) AS bm25 FROM sc GROUP BY 1, 2),
-              |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-              |   ORDER BY round(bm25 + 0.000001, 4) DESC, doc_id) AS rnk FROM g)
-              |SELECT query_id, doc_id, round(bm25 + 0.000001, 4) AS bm25,
-              | CAST(rnk AS INT) AS rnk
-              |FROM r WHERE rnk <= 10""".stripMargin)),
+      Some(bm25SearchSql)),
+
+    // The PERSISTED lexical index: 90% of the corpus builds the
+    // append-only postings/df/stats tables, the arriving 10% shard
+    // appends (no rewrite, no existing row read), and search over the
+    // result must equal the from-scratch BM25 over the whole corpus —
+    // same oracle as llm_bm25_topk, the retrieval parallel of the
+    // dedup and IVF index incremental gates.
+    QueryDef("llm_bm25_indexed",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_lex")
+        val name = s"graft_lex.bm25_${math.abs(dir.hashCode)}"
+        Retrieval.writeBm25Index(docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", name, s"target/tmp/bm25_${math.abs(dir.hashCode)}")
+        Retrieval.appendBm25Shard(s, name,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        Retrieval.bm25IndexedTopK(s, name, docs.filter(col("doc_id") < 5),
+            "doc_id", "text", k = 10)
+          .select(col("query_id"), col("doc_id"),
+            round(col("bm25_raw") + lit(1e-6), 4).as("bm25"), col("rnk"))
+      },
+      Some(bm25SearchSql)),
 
     // Hybrid retrieval: BM25 top-20 over documents fused with exact
     // cosine top-20 over embeddings by reciprocal-rank fusion (the

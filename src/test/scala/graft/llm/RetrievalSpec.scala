@@ -50,6 +50,46 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     assert(out(1) == 1L, s"zebra-only doc must beat common-only docs: ${out.mkString(", ")}")
   }
 
+  test("persisted index: build + append search ≡ from-scratch bm25TopK") {
+    import org.apache.spark.sql.functions.{lit, round}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_lex_spec")
+    val name = "graft_lex_spec.bm25_spec"
+    val dir = java.nio.file.Files.createTempDirectory("bm25_idx_spec").toString
+    Retrieval.writeBm25Index(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", name, dir)
+    Retrieval.appendBm25Shard(spark, name,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      df.select(col("query_id"), col("doc_id"),
+          round(col("bm25_raw") + lit(1e-6), 4), col("rnk"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val indexed = norm(Retrieval.bm25IndexedTopK(spark, name,
+      docs.filter(col("doc_id") < 2), "doc_id", "text", k = 5))
+    val scratch = norm(Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 2),
+      "doc_id", "text", "doc_id", "text", k = 5))
+    assert(indexed == scratch, s"indexed $indexed\nvs scratch $scratch")
+  }
+
+  test("indexed search df re-aggregation is exchange-free on the bucketed table") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_lex_spec")
+    val name = "graft_lex_spec.bm25_plan"
+    val dir = java.nio.file.Files.createTempDirectory("bm25_plan_spec").toString
+    Retrieval.writeBm25Index(docs, "doc_id", "text", name, dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dfAgg = spark.table(s"${name}_df")
+        .groupBy(col("token")).agg(sum(col("doc_freq")).as("doc_freq"))
+      val exchanges = dfAgg.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty,
+        s"bucketed df partials must not shuffle:\n${dfAgg.queryExecution.executedPlan}")
+      assert(dfAgg.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("rrf fuses ranks: both-list item wins, one-list ties break on id") {
     val lex = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rnk")
     val vec = Seq((1L, 10L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rnk")
