@@ -98,6 +98,43 @@ object MicroBench {
         .filter(col("d") > lit(10000000000L)))
     println(f"""{"case":"pq_adc_native_vs_hof","x":${adc / adcNat}%.2f}""")
     println(f"""{"case":"pq_adc_native_vs_dot","x":${full / adcNat}%.2f}""")
+
+    // BPE merge application: the nested aggregate-fold chain vs the
+    // native expression, same 8-merge table, 200k cached synthetic
+    // texts (~9 words each from a letter alphabet so merges fire).
+    // The structural story is expression DEPTH (the fallback nests one
+    // fold per merge and cannot express a 10^4-merge tokenizer at
+    // all); this measures the CPU side at a depth both paths support.
+    val texts = spark.range(0, 200000).select(col("id"),
+        array_join(transform(sequence(lit(1), lit(9)), i =>
+          element_at(typedLit(Seq("lower", "slow", "flow", "werewolf",
+            "owl", "lowest", "roller", "wool")),
+            pmod(hash(col("id") * lit(131) + i), lit(8)).cast("int") + lit(1))),
+          " ").as("text"))
+      .persist()
+    texts.count()
+    val bpeMerges = Seq("l" -> "o", "o" -> "w", "lo" -> "w", "e" -> "r",
+      "w" -> "e", "o" -> "l", "low" -> "er", "s" -> "low")
+    def bpeHof(text: org.apache.spark.sql.Column) =
+      flatten(transform(split(text, " "), w => {
+        val chars = when(length(w) === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(w)),
+            i => w.substr(i, lit(1))))
+        bpeMerges.foldLeft(chars) { case (arr, (l, r)) =>
+          aggregate(arr, array().cast("array<string>"),
+            (acc, s) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(s))))
+        }
+      }))
+    val bh = time("bpe_hof")(
+      texts.select(size(bpeHof(col("text"))).as("n")).filter(col("n") > 999))
+    val bn = time("bpe_native")(
+      texts.select(size(call_function("graft_bpe_encode", col("text"),
+        typedLit(bpeMerges.map(_._1)), typedLit(bpeMerges.map(_._2)))).as("n"))
+        .filter(col("n") > 999))
+    println(f"""{"case":"bpe_speedup","x":${bh / bn}%.2f}""")
     spark.stop()
   }
 }
