@@ -526,6 +526,50 @@ object Corpus {
     * Returns the learned merge table in order: (step, left, right,
     * merged, cnt).
     */
+  /** Classifier-based quality scoring (the GPT-3/LLaMA "WebText
+    * classifier" methodology, Naive-Bayes-shaped): learn Laplace-
+    * smoothed per-token log-odds weights from a labeled slice —
+    * `w(t) = ln(((cnt⁺+1)/(tot⁺+V)) / ((cnt⁻+1)/(tot⁻+V)))` — and
+    * score every document by its MEAN token log-odds (length-
+    * normalized, so long documents don't win by accumulation). The
+    * label can come from human annotation, a curated-vs-web split, or
+    * any heuristic; training and inference are one lazy plan.
+    *
+    * Scale shape: one (doc, token) explode; training is a token-keyed
+    * aggregate (vocabulary-sized output) plus a 1-row broadcast of the
+    * class totals; inference joins the weight table back on the token
+    * (AQE broadcasts small vocabularies) and re-aggregates per doc.
+    * No driver path, no model object — the "model" IS a DataFrame.
+    *
+    * `ln` is transcendental and the per-doc sum order-dependent; gate
+    * wrappers round (scores carry no rank here, so the +1e-6/round
+    * convention fully absorbs the ulps).
+    *
+    * Output: (idCol, n_tokens, quality_raw).
+    */
+  def logOddsQuality(
+      docs: DataFrame, idCol: String, textCol: String,
+      label: org.apache.spark.sql.Column): DataFrame = {
+    val id = col(idCol)
+    val toks = docs.select(id, label.cast("boolean").as("__y"),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(
+      sum(when(col("__y"), lit(1L)).otherwise(lit(0L))).as("__cp"),
+      sum(when(col("__y"), lit(0L)).otherwise(lit(1L))).as("__cn"))
+    val tot = counts.agg(sum(col("__cp")).as("__tp"),
+      sum(col("__cn")).as("__tn"), count(lit(1)).as("__v"))
+    val weights = counts.crossJoin(broadcast(tot))
+      .select(col("token"), ln(
+        ((col("__cp") + lit(1.0)) / (col("__tp") + col("__v"))) /
+          ((col("__cn") + lit(1.0)) / (col("__tn") + col("__v")))).as("__w"))
+    toks
+      .join(weights, Seq("token"))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("__sw"))
+      .select(id, col("n_tokens"),
+        (col("__sw") / col("n_tokens")).as("quality_raw"))
+  }
+
   /** APPLY a trained BPE merge table to the corpus — the inference half
     * of [[bpeTrain]]: words split to character symbols, each merge
     * `(l, r) → l+r` applied in rank order as the same left-to-right

@@ -1172,6 +1172,36 @@ object LlmQueries {
            | round(quality + 0.000001, 4) AS quality FROM q""".stripMargin
       }),
 
+    // Classifier-based quality scoring (the GPT-3/LLaMA WebText-
+    // classifier methodology, Naive-Bayes-shaped): Laplace-smoothed
+    // per-token log-odds learned against the lang='en' label, every
+    // document scored by its mean token log-odds — train + inference
+    // as ONE lazy plan, the "model" is a DataFrame. The oracle
+    // replays training totals, weights, and scoring.
+    QueryDef("llm_quality_classifier",
+      (s, dir) => Corpus.logOddsQuality(
+          QueryDef.table(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("quality_raw") + lit(1e-6), 4).as("quality")),
+      Some(s"""WITH t AS (SELECT doc_id, lang = 'en' AS y,
+              |   string_split(text, ' ') AS w FROM documents),
+              |e AS (SELECT doc_id, y, unnest(w) AS token FROM t),
+              |c AS (SELECT token,
+              |   sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+              |   sum(CASE WHEN y THEN 0 ELSE 1 END) AS cn
+              |  FROM e GROUP BY 1),
+              |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM c),
+              |wt AS (SELECT token, ln(
+              |   ((c.cp + 1.0) / (tot.tp + tot.v)) /
+              |   ((c.cn + 1.0) / (tot.tn + tot.v))) AS wv
+              |  FROM c CROSS JOIN tot),
+              |sc AS (SELECT e.doc_id, count(*) AS n_tokens, sum(wt.wv) AS sw
+              |  FROM e JOIN wt USING (token) GROUP BY 1)
+              |SELECT doc_id, n_tokens,
+              | round(sw / n_tokens + 0.000001, 4) AS quality
+              |FROM sc""".stripMargin)),
+
     // Gopher-style repetition filters: fraction of tokens taken by the
     // most frequent token + fraction of repeated word bigrams, with the
     // keep decision (top <= 0.2 AND dup <= 0.3 — Gopher-inspired

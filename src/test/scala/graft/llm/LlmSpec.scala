@@ -824,6 +824,25 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) == ((3L, 6L, 6.0 / 18.0, 1.0 / 3.0)), s"doc 1: ${out(1L)}")
   }
 
+  test("log-odds classifier: class-exclusive tokens pull scores apart, sign is right") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "good clean prose here", true),
+      (1L, "good clean text here", true),
+      (2L, "spam spam buy now", false),
+      (3L, "buy spam now cheap", false),
+      (4L, "good clean prose now", true) // mostly positive vocabulary
+    ).toDF("doc_id", "text", "y")
+    val out = Corpus.logOddsQuality(docs, "doc_id", "text", col("y"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.size == 5 && out.forall(_._2._1 == 4), "every doc, 4 tokens each")
+    assert(out(0L)._2 > 0 && out(1L)._2 > 0, "positive-vocab docs score > 0")
+    assert(out(2L)._2 < 0 && out(3L)._2 < 0, "negative-vocab docs score < 0")
+    assert(out(4L)._2 > out(2L)._2, "mixed doc still beats pure spam")
+    // higher positive purity -> higher score
+    assert(out(0L)._2 > out(4L)._2, "doc with 'now' (neg-leaning) scores below pure positive")
+  }
+
   test("source overlap matrix: shared spans counted, zero pairs emitted, jaccard exact") {
     val docs = Seq(
       (0L, "a b c", "A"), (1L, "a b d", "B"), (2L, "x y z", "C")
