@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines: dataset mixing
@@ -122,5 +123,43 @@ object Sampling {
         sum(col("n_tokens").cast("long")).over(w) - col("n_tokens"))
       .filter(col("tok_before") < bud)
       .select(col(idCol), col(sourceCol), col("n_tokens"), col("tok_before"))
+  }
+
+  /** Temperature-balanced source sampling (the mT5/XLM-R α-sampling
+    * knob at α = 0.5): target share q_s ∝ √(n_s) — small sources are
+    * upweighted relative to their natural share, large ones capped —
+    * realized deterministically as "keep the first n_keep docs of each
+    * source in md5-rank order", n_keep = min(n_s, ⌊q_s · target⌋).
+    *
+    * α is FIXED at 0.5 because √ is IEEE-correctly-rounded (deterministic
+    * cross-engine) where a general `pow` is not; the one cross-engine
+    * hazard left is the Σ√n normalizer's 20-term summation order, which
+    * the repo's round-then-floor convention absorbs (both engines floor
+    * the identical 6-decimal rounding, so the integer n_keep can't
+    * knife-edge).
+    *
+    * Scale shape: source counts are a |sources|-row aggregate broadcast
+    * back; the md5 rank is one window per source (the same per-source
+    * ordering [[tokenBudget]] uses). Returns EVERY doc with its verdict:
+    * (idCol, sourceCol, rnk_in_source, n_docs, q_raw, n_keep, keep).
+    */
+  def temperatureSample(
+      docs: DataFrame, idCol: String, sourceCol: String,
+      targetDocs: Long): DataFrame = {
+    require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(sqrt(col("n_docs").cast("double"))).as("__z"))
+    val rated = counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"),
+        (sqrt(col("n_docs").cast("double")) / col("__z")).as("q_raw"))
+      .withColumn("n_keep", least(col("n_docs"),
+        floor(round(col("q_raw") * lit(targetDocs.toDouble) + lit(1e-6), 6))
+          .cast("long")))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.select(col(idCol), col(sourceCol))
+      .withColumn("rnk_in_source", row_number().over(w))
+      .join(broadcast(rated), Seq(sourceCol))
+      .withColumn("keep", col("rnk_in_source") <= col("n_keep"))
   }
 }

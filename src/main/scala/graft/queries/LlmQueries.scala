@@ -743,6 +743,34 @@ object LlmQueries {
               |  (CASE WHEN lang = 'en' THEN 5000
               |        WHEN lang = 'de' THEN 2500 ELSE 1000 END)""".stripMargin)),
 
+    // Temperature-balanced sampling (mT5/XLM-R α-sampling, α=0.5 so
+    // the reweighting is sqrt — IEEE-exact cross-engine where pow is
+    // not): small languages get upweighted vs their natural share;
+    // keep = first n_keep docs per lang in md5-rank order, n_keep
+    // floored from the 6-decimal-rounded share so the integer
+    // threshold can't knife-edge between engines.
+    QueryDef("llm_sample_temperature",
+      (s, dir) => Sampling.temperatureSample(
+          QueryDef.table(s, dir, "documents"), "doc_id", "lang",
+          targetDocs = 300L)
+        .select(col("doc_id"), col("lang"), col("rnk_in_source"),
+          col("n_docs"), round(col("q_raw") + lit(1e-6), 6).as("q"),
+          col("n_keep"), col("keep").cast("int").as("keep")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+             |z AS (SELECT sum(sqrt(n_docs::DOUBLE)) AS z FROM c),
+             |r AS (SELECT lang, n_docs, sqrt(n_docs::DOUBLE) / z.z AS q
+             |  FROM c CROSS JOIN z),
+             |k AS (SELECT lang, n_docs, q, least(n_docs,
+             |   CAST(floor(round(q * 300.0 + 0.000001, 6)) AS BIGINT)) AS n_keep
+             |  FROM r),
+             |d AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+             |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+             |  FROM documents)
+             |SELECT d.doc_id, d.lang, CAST(d.rnk AS INT) AS rnk_in_source,
+             | k.n_docs, round(k.q + 0.000001, 6) AS q, k.n_keep,
+             | CAST(d.rnk <= k.n_keep AS INT) AS keep
+             |FROM d JOIN k USING (lang)""".stripMargin)),
+
     // Weighted corpus mixing: the src0 slice at a high rate + the rest
     // at a low rate, tag-salted so draws are independent —
     // oracle replays the per-source bucket arithmetic and the union.

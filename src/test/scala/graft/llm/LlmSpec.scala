@@ -824,6 +824,23 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) == ((3L, 6L, 6.0 / 18.0, 1.0 / 3.0)), s"doc 1: ${out(1L)}")
   }
 
+  test("temperature sampling upweights the small source and caps the big one") {
+    import org.apache.spark.sql.functions.col
+    val docs = ((0L until 90L).map(i => (i, "A")) ++
+      (90L until 100L).map(i => (i, "B"))).toDF("doc_id", "src")
+    val out = Sampling.temperatureSample(docs, "doc_id", "src", targetDocs = 50L)
+      .collect().map(r => (r.getLong(1), r.getString(0), r.getBoolean(6)))
+    // q_A = sqrt(90)/(sqrt(90)+sqrt(10)) = 0.75 -> keep 37 of 90 (41%)
+    // q_B = 0.25 -> 12 > |B| -> keep ALL 10 (100% vs natural 10% share)
+    val kept = out.filter(_._3)
+    assert(kept.count(_._2 == "B") == 10, "small source fully kept")
+    assert(kept.count(_._2 == "A") == 37, s"big source capped at floor(0.75*50)")
+    // deterministic: same input -> same kept set
+    val again = Sampling.temperatureSample(docs, "doc_id", "src", 50L)
+      .filter(col("keep")).collect().map(_.getLong(1)).toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("log-odds classifier: class-exclusive tokens pull scores apart, sign is right") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
