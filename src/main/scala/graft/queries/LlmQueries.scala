@@ -1063,6 +1063,58 @@ object LlmQueries {
            |FROM c""".stripMargin
       }),
 
+    // CURATION pipeline — the composition gate for this session's
+    // operators: log-odds classifier scores every doc (train +
+    // inference in-plan), classifier-positive docs survive (threshold
+    // on the ROUNDED score, so no raw-double boundary can flip
+    // membership cross-engine), and the survivors are
+    // temperature-sampled per source. One lazy plan; the oracle
+    // replays classifier training, thresholding, and the sampler's
+    // share/rank arithmetic end-to-end. Output is all
+    // integers/strings — no float ever reaches the hash compare.
+    QueryDef("llm_pipeline_curate",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        val scored = Corpus.logOddsQuality(docs, "doc_id", "text",
+          col("lang") === "en")
+        val kept = docs.join(
+          scored.filter(round(col("quality_raw") + lit(1e-6), 4) > 0)
+            .select(col("doc_id")),
+          Seq("doc_id"))
+        Sampling.temperatureSample(kept, "doc_id", "source", targetDocs = 120L)
+          .filter(col("keep"))
+          .select(col("doc_id"), col("source"), col("rnk_in_source"),
+            col("n_docs"), col("n_keep"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source, lang = 'en' AS y,
+             |   string_split(text, ' ') AS w FROM documents),
+             |e AS (SELECT doc_id, y, unnest(w) AS token FROM t),
+             |c AS (SELECT token,
+             |   sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+             |   sum(CASE WHEN y THEN 0 ELSE 1 END) AS cn
+             |  FROM e GROUP BY 1),
+             |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM c),
+             |wt AS (SELECT token, ln(
+             |   ((c.cp + 1.0) / (tot.tp + tot.v)) /
+             |   ((c.cn + 1.0) / (tot.tn + tot.v))) AS wv
+             |  FROM c CROSS JOIN tot),
+             |sc AS (SELECT e.doc_id, count(*) AS n_tokens, sum(wt.wv) AS sw
+             |  FROM e JOIN wt USING (token) GROUP BY 1),
+             |kept AS (SELECT t.doc_id, t.source FROM t JOIN sc USING (doc_id)
+             |  WHERE round(sc.sw / sc.n_tokens + 0.000001, 4) > 0),
+             |kc AS (SELECT source, count(*) AS n_docs FROM kept GROUP BY 1),
+             |z AS (SELECT sum(sqrt(n_docs::DOUBLE)) AS z FROM kc),
+             |k AS (SELECT source, n_docs, least(n_docs,
+             |   CAST(floor(round(sqrt(n_docs::DOUBLE) / z.z * 120.0
+             |     + 0.000001, 6)) AS BIGINT)) AS n_keep
+             |  FROM kc CROSS JOIN z),
+             |d AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+             |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+             |  FROM kept)
+             |SELECT d.doc_id, d.source, CAST(d.rnk AS INT) AS rnk_in_source,
+             | k.n_docs, k.n_keep
+             |FROM d JOIN k USING (source) WHERE d.rnk <= k.n_keep""".stripMargin)),
+
     // Corpus stats: per (lang, source) token/char aggregates.
     QueryDef("llm_text_stats",
       (s, dir) => QueryDef.table(s, dir, "documents")
