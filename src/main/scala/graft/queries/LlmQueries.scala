@@ -1449,6 +1449,98 @@ object LlmQueries {
               | round(rrf + 0.000001, 6) AS rrf, CAST(rnk AS INT) AS rnk
               |FROM r WHERE rnk <= 10""".stripMargin)),
 
+    // The PRODUCTION hybrid path: both retrieval halves served from
+    // PERSISTED indexes — BM25 over the append-only lexical tables,
+    // cosine over the bucketed IVF inverted lists (nprobe=3) — fused
+    // by RRF. The oracle recomputes both halves from scratch and
+    // replays the fusion: the persisted state must be invisible to
+    // search results end-to-end.
+    QueryDef("llm_hybrid_indexed",
+      (s, dir) => {
+        val docs = QueryDef.table(s, dir, "documents")
+        val emb = QueryDef.table(s, dir, "embeddings")
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_lex")
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_ann")
+        val h = math.abs(dir.hashCode)
+        val lname = s"graft_lex.bm25_hy_$h"
+        val vname = s"graft_ann.ivf_hy_$h"
+        Retrieval.writeBm25Index(docs, "doc_id", "text", lname,
+          s"target/tmp/bm25_hy_$h")
+        Embeddings.writeIvfIndex(emb, lloydCentroids(emb),
+          "vec_id", "embedding", vname, s"target/tmp/ivf_hy_$h")
+        val lex = Retrieval.bm25IndexedTopK(s, lname,
+          docs.filter(col("doc_id") < 5), "doc_id", "text", k = 20,
+          excludeSelf = true)
+        val vec = Embeddings.ivfIndexedTopK(s, vname,
+            emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            nprobe = 3, k = 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+        Retrieval.rrfFuse(
+            lex.select(col("query_id"), col("doc_id"), col("rnk")),
+            vec, "doc_id", k = 10)
+          .select(col("query_id"), col("doc_id"),
+            col("in_lex").cast("int").as("in_lex"),
+            col("in_vec").cast("int").as("in_vec"),
+            round(col("rrf_raw") + lit(1e-6), 6).as("rrf"), col("rnk"))
+      },
+      Some(s"""WITH $lloydCtes,
+              |t AS ($toksCte),
+              |e AS (SELECT doc_id, unnest(w) AS token FROM t),
+              |tf AS (SELECT doc_id, token, count(*) AS tf_count FROM e GROUP BY 1, 2),
+              |l AS (SELECT doc_id, sum(tf_count) AS len FROM tf GROUP BY 1),
+              |st AS (SELECT count(*) AS n, avg(len) AS avgdl FROM l),
+              |d AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+              |qq AS (SELECT DISTINCT doc_id AS query_id, unnest(w) AS token
+              |  FROM t WHERE doc_id < 5),
+              |sc AS (SELECT qq.query_id, tf.doc_id,
+              |   ln(1.0 + (st.n - d.doc_freq + 0.5) / (d.doc_freq + 0.5)) *
+              |   ((tf.tf_count * (1.2 + 1.0)) / (tf.tf_count +
+              |     1.2 * ((1.0 - 0.75) + 0.75 * l.len / st.avgdl))) AS s
+              |  FROM qq JOIN tf USING (token) JOIN d USING (token)
+              |   JOIN l ON l.doc_id = tf.doc_id CROSS JOIN st
+              |  WHERE qq.query_id != tf.doc_id),
+              |g AS (SELECT query_id, doc_id, sum(s) AS bm25 FROM sc GROUP BY 1, 2),
+              |lexr AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+              |   ORDER BY round(bm25 + 0.000001, 4) DESC, doc_id) AS rnk FROM g),
+              |vq AS (SELECT vec_id AS query_id, embedding AS qe
+              |  FROM embeddings WHERE vec_id < 5),
+              |s2 AS (SELECT e2.vec_id, e2.embedding, c2.centroid_id,
+              |   ${cosSql("e2.embedding", "c2.cv")} AS sim
+              |  FROM embeddings e2, c2),
+              |a2 AS (SELECT vec_id, embedding, centroid_id AS cluster_id
+              |  FROM (SELECT vec_id, embedding, centroid_id, row_number() OVER
+              |     (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rnk FROM s2)
+              |  WHERE rnk = 1),
+              |pr AS (SELECT query_id, cluster_id
+              |  FROM (SELECT vq.query_id, c2.centroid_id AS cluster_id, row_number() OVER
+              |     (PARTITION BY vq.query_id ORDER BY ${cosSql("vq.qe", "c2.cv")} DESC,
+              |      c2.centroid_id) AS prnk
+              |    FROM vq, c2)
+              |  WHERE prnk <= 3),
+              |vj AS (SELECT pr.query_id, a2.vec_id AS neighbor_id,
+              |   ${cosSql("qe2.qe", "a2.embedding")} AS sim
+              |  FROM pr JOIN a2 ON pr.cluster_id = a2.cluster_id
+              |   JOIN vq qe2 ON qe2.query_id = pr.query_id
+              |  WHERE a2.vec_id != pr.query_id),
+              |vecr AS (SELECT query_id, neighbor_id AS doc_id, row_number() OVER
+              |   (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM vj),
+              |lexh AS (SELECT query_id, doc_id, 1.0 / (60.0 + rnk) AS sl
+              |  FROM lexr WHERE rnk <= 20),
+              |vech AS (SELECT query_id, doc_id, 1.0 / (60.0 + rnk) AS sv
+              |  FROM vecr WHERE rnk <= 20),
+              |f AS (SELECT coalesce(lx.query_id, v.query_id) AS query_id,
+              |   coalesce(lx.doc_id, v.doc_id) AS doc_id,
+              |   CAST(lx.sl IS NOT NULL AS INT) AS in_lex,
+              |   CAST(v.sv IS NOT NULL AS INT) AS in_vec,
+              |   coalesce(lx.sl, 0.0) + coalesce(v.sv, 0.0) AS rrf
+              |  FROM lexh lx FULL OUTER JOIN vech v
+              |   ON lx.query_id = v.query_id AND lx.doc_id = v.doc_id),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              |   ORDER BY rrf DESC, doc_id) AS rnk FROM f)
+              |SELECT query_id, doc_id, in_lex, in_vec,
+              | round(rrf + 0.000001, 6) AS rrf, CAST(rnk AS INT) AS rnk
+              |FROM r WHERE rnk <= 10""".stripMargin)),
+
     // Cross-document duplicated-span profile: per doc, how many of its
     // distinct 5-token spans occur in >= 2 documents (the Gopher/FineWeb
     // style dup-ngram boilerplate signal, corpus-internal — distinct from
