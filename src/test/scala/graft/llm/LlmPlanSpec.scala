@@ -81,6 +81,25 @@ class LlmPlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bm25: query terms broadcast into tf, top-k pre-pruned before the rank exchange") {
+    withoutAqe {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val plan = Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 5),
+          "doc_id", "text", "doc_id", "text", k = 10)
+        .queryExecution.executedPlan
+      val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, "query-term join must plan as BroadcastHashJoin")
+      // Spark's WindowGroupLimit must cut candidates to rnk<=k map-side
+      // BEFORE the per-query exchange — the guard that keeps the
+      // 5-partition rank window from receiving every matching doc
+      val wgl = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+      }
+      assert(wgl.size >= 2,
+        s"expected partial+final WindowGroupLimit around the rank exchange, got ${wgl.size}")
+    }
+  }
+
   test("tfidf: the 1-row corpus-count join broadcasts, never a cartesian product") {
     withoutAqe {
       val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
