@@ -111,6 +111,31 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic in-memory WAV with EVEN 16-bit samples:
+    * v(i) = (2·((i·131 + seed·7919) mod 32768 − 16384)) >> shift —
+    * even base values make the shift=1 twin an EXACT half-amplitude
+    * copy (no floor error), so [[audioHash]]'s scale invariance is
+    * testable bit-for-bit and the oracle replays the formula in
+    * integer SQL.
+    */
+  def evenWavBytes(nSamples: Int, sampleRate: Int, seed: Int, shift: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = ((2 * ((i * 131 + seed * 7919) % 32768 - 16384)) >> shift).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** The [[aHash]] hex string as its signed 64-bit value (two 32-bit
     * halves; the high half's shift wraps into the sign bit, which is
     * exactly the packed representation [[aHashBits]] produced) — the
@@ -531,6 +556,74 @@ object Multimodal {
             if (img == null || img.getWidth <= 0 || img.getHeight <= 0) null
             else f"${aHashBits(img)}%016x"
           } catch { case _: java.io.IOException => null }
+        Row(r.getLong(0), hex)
+      }
+    }.toDF()
+  }
+
+  /** 64-bit energy hash over REAL decoded PCM samples — the audio twin
+    * of [[aHashBits]]: the sample stream splits into 64 equal-span
+    * blocks, each block's summed |amplitude| compares against the
+    * stream mean by cross-multiplication (`blockSum · n >= totalSum ·
+    * blockCnt` — no division, no float), bit c set when block c is
+    * louder than average. Amplitude-SCALE invariant (bits are relative
+    * to the stream's own energy — a remastered/volume-shifted copy
+    * hashes identically when the scaling is exact), and the 64-bit
+    * output composes with [[graft.llm.Dedup.hammingPairs64]] exactly
+    * like the image hash. Supports the JDK-parsable PCM containers at
+    * 16-bit/mono/little-endian; anything else yields None.
+    */
+  private[multimodal] def audioHashBits(payload: Array[Byte]): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+        fmt.isBigEndian ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        if (n == 0) None
+        else {
+          val cellSum = new Array[Long](64)
+          val cellCnt = new Array[Long](64)
+          var i = 0
+          while (i < n) {
+            val v = (((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toShort).toLong
+            val c = (i.toLong * 64 / n).toInt
+            cellSum(c) += math.abs(v)
+            cellCnt(c) += 1
+            i += 1
+          }
+          val totalSum = cellSum.sum
+          var bits = 0L
+          var c = 0
+          while (c < 64) {
+            if (cellCnt(c) > 0 && cellSum(c) * n >= totalSum * cellCnt(c))
+              bits |= 1L << (63 - c)
+            c += 1
+          }
+          Some(bits)
+        }
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** [[audioHashBits]] over a binary asset column, batched like
+    * [[aHash]]: (asset_id, ahash_hex), null hex for undecodable rows.
+    */
+  def audioHash(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("ahash_hex", StringType, nullable = true)))
+    implicit val enc = Encoders.row(outSchema)
+    assets.select(col("asset_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val hex = audioHashBits(r.getAs[Array[Byte]](1))
+          .map(b => f"$b%016x").orNull
         Row(r.getLong(0), hex)
       }
     }.toDF()

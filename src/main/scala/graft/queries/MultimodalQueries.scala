@@ -148,6 +148,55 @@ object MultimodalQueries {
              |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
              | CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 3""".stripMargin)),
 
+    // End-to-end AUDIO near-dup: 24 sample-formula families ×
+    // (original + EXACT half-amplitude twin with different bytes) flow
+    // through real javax.sound PCM decode -> block-energy hash ->
+    // banded Hamming pairs. The energy hash is amplitude-scale
+    // invariant (bits relative to the stream's own mean), so each twin
+    // pair lands at Hamming 0; the oracle replays samples -> |v| block
+    // sums -> cross-multiplied bits -> quarter bands -> guard ->
+    // rescore, all in integer SQL — sample-level decode is
+    // hash-checked, not just frame counts.
+    QueryDef("mm_audio_neardup",
+      (s, dir) => {
+        import scala.jdk.CollectionConverters._
+        val rows: java.util.List[org.apache.spark.sql.Row] = (0 until 48).map { i =>
+          org.apache.spark.sql.Row(i.toLong, "audio",
+            Multimodal.evenWavBytes(640, 8000, seed = i % 24,
+              shift = if (i < 24) 0 else 1))
+        }.asJava
+        val hashed = Multimodal.audioHash(s.createDataFrame(rows, Multimodal.assetSchema))
+          .select(col("asset_id"), Multimodal.aHashLong(col("ahash_hex")).as("ahash"))
+        graft.llm.Dedup.hammingPairs64(hashed, "asset_id", "ahash")
+      },
+      Some("""WITH sm AS (
+             |  SELECT i.range AS i, k.range AS k,
+             |    ((2 * (((k.range * 131 + (i.range % 24) * 7919) % 32768) - 16384))
+             |      >> (CASE WHEN i.range < 24 THEN 0 ELSE 1 END)) AS v
+             |  FROM range(0, 48) i, range(0, 640) k),
+             |cs AS (SELECT i, (k * 64) // 640 AS cell, sum(abs(v)) AS cellsum,
+             |   count(*) AS cellcnt FROM sm GROUP BY 1, 2),
+             |tt AS (SELECT i, sum(cellsum) AS total FROM cs GROUP BY 1),
+             |b AS (SELECT cs.i, cs.cell,
+             |   CASE WHEN cs.cellsum * 640 >= tt.total * cs.cellcnt THEN 1 ELSE 0 END AS bit
+             |  FROM cs JOIN tt USING (i)),
+             |h AS (SELECT i,
+             |   CAST(sum(CASE WHEN cell < 32 THEN bit * (1::BIGINT << (31 - cell)) ELSE 0 END) AS BIGINT) AS hi,
+             |   CAST(sum(CASE WHEN cell >= 32 THEN bit * (1::BIGINT << (63 - cell)) ELSE 0 END) AS BIGINT) AS lo
+             |  FROM b GROUP BY 1),
+             |bands AS (SELECT i, hi, lo, unnest([
+             |   'q0:' || CAST(lo & 65535 AS VARCHAR),
+             |   'q1:' || CAST((lo >> 16) & 65535 AS VARCHAR),
+             |   'q2:' || CAST(hi & 65535 AS VARCHAR),
+             |   'q3:' || CAST((hi >> 16) & 65535 AS VARCHAR)]) AS band FROM h),
+             |d AS (SELECT * FROM bands WHERE band IN
+             |  (SELECT band FROM bands GROUP BY band HAVING count(*) <= 64)),
+             |p AS (SELECT DISTINCT a.i AS id_a, b.i AS id_b,
+             |   bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+             |  FROM d a JOIN d b ON a.band = b.band AND a.i < b.i)
+             |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             | CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 3""".stripMargin)),
+
     // REAL audio decode: deterministic fixture WAVs (frame counts from
     // a fixed formula, 8 kHz PCM) flow through the same batched decode
     // stage; javax.sound.sampled must recover the genuine frame count

@@ -235,4 +235,37 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out(0L).contains(f"$expected%016x"), s"got ${out(0L)}")
     assert(out(1L).isEmpty, "garbage bytes must yield a null hash, not a crash")
   }
+
+  test("audioHash is amplitude-scale invariant on an exact half-amplitude twin") {
+    val orig = Multimodal.audioHashBits(Multimodal.evenWavBytes(640, 8000, 3, 0))
+    val half = Multimodal.audioHashBits(Multimodal.evenWavBytes(640, 8000, 3, 1))
+    assert(orig.isDefined && orig == half,
+      s"halving every even sample must preserve every mean-relative bit: $orig vs $half")
+    val other = Multimodal.audioHashBits(Multimodal.evenWavBytes(640, 8000, 4, 0))
+    assert(other.isDefined && other != orig, "a different sample formula must hash differently")
+  }
+
+  test("audioHash decodes real PCM and matches the sample-formula fold; garbage is null") {
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] = Seq(
+      org.apache.spark.sql.Row(0L, "audio", Multimodal.evenWavBytes(640, 8000, 7, 0)),
+      org.apache.spark.sql.Row(1L, "audio", "not audio at all".getBytes("UTF-8"))
+    ).asJava
+    val out = Multimodal.audioHash(spark.createDataFrame(rows, Multimodal.assetSchema))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // replicate the fixture formula through the same integer fold
+    val n = 640
+    val samples = (0 until n).map(i => 2 * ((i * 131 + 7 * 7919) % 32768 - 16384))
+    val cellSum = new Array[Long](64); val cellCnt = new Array[Long](64)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      val c = (i.toLong * 64 / n).toInt
+      cellSum(c) += math.abs(v.toLong); cellCnt(c) += 1
+    }
+    val total = cellSum.sum
+    val expected = (0 until 64).foldLeft(0L) { (acc, c) =>
+      if (cellCnt(c) > 0 && cellSum(c) * n >= total * cellCnt(c)) acc | (1L << (63 - c)) else acc
+    }
+    assert(out(0L).contains(f"$expected%016x"), s"got ${out(0L)}")
+    assert(out(1L).isEmpty, "garbage bytes must yield a null hash, not a crash")
+  }
 }
