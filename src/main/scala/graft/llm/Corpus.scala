@@ -599,6 +599,13 @@ object Corpus {
         call_function("graft_bpe_encode", col(textCol),
           typedLit(merges.map(_._1)), typedLit(merges.map(_._2)))
       else {
+        // the fallback nests one aggregate() fold per merge — a
+        // production-sized table would build an expression tree the
+        // planner can't survive; fail loudly instead of OOMing Catalyst
+        require(merges.size <= 64,
+          s"bpeEncode without GraftExtensions supports <= 64 merges " +
+            s"(got ${merges.size}); register the extensions for the " +
+            "native kernel (GraftSession.build does)")
         val perWord = transform(split(col(textCol), " "), w => {
           val chars = when(length(w) === 0, array().cast("array<string>"))
             .otherwise(transform(sequence(lit(1), length(w)),
