@@ -570,6 +570,62 @@ object Corpus {
         (col("__sw") / col("n_tokens")).as("quality_raw"))
   }
 
+  /** Multiclass Naive-Bayes text classification (the trained upgrade of
+    * the n-gram lang-ID heuristic): per-(token, class) Laplace-smoothed
+    * log-likelihoods plus a class prior, every document scored against
+    * every class and assigned the argmax. The absent-(token, class)
+    * smoothing folds into closed form — `score(d, c) = ln(n_c) − ln(N)
+    * + Σ_t ln(cnt(t,c)+1) − |d|·ln(tot_c + V)` — so the scoring join
+    * only touches EXISTING (token, class) rows (missing pairs
+    * contribute ln 1 = 0 to the sum), which is what keeps the plan
+    * sparse at a web-corpus vocabulary.
+    *
+    * Scale shape: one (doc, token) explode; training aggregates are
+    * (token × classes)-sized; scoring joins the count table back on
+    * the token and aggregates per (doc, class) — classes are a
+    * handful, so the per-doc grid is a broadcast cross join. The
+    * argmax ranks by the 6-decimal-ROUNDED score (class-name
+    * tie-break) per the repo's transcendental convention.
+    *
+    * Output: (idCol, label_true, n_tokens, label_pred, score_raw of
+    * the winner).
+    */
+  def nbClassify(
+      docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    val id = col(idCol)
+    val toks = docs.select(id, col(labelCol).as("__y"),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy(col("token"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val classStats = counts.groupBy(col("__y")).agg(sum(col("__c")).as("__tot"))
+      .join(docs.groupBy(col(labelCol).as("__y")).agg(count(lit(1)).as("__dn")),
+        Seq("__y"))
+      .crossJoin(counts.agg(countDistinct(col("token")).as("__v")))
+      .crossJoin(docs.agg(count(lit(1)).as("__nd")))
+    val sumln = toks.select(id, col("token"))
+      .join(counts.withColumnRenamed("__y", "__cls"), Seq("token"))
+      .groupBy(id, col("__cls"))
+      .agg(sum(ln(col("__c") + lit(1.0))).as("__sl"))
+    val base = docs.select(id, col(labelCol).as("label_true"))
+      .join(toks.groupBy(id).agg(count(lit(1)).as("n_tokens")), Seq(idCol))
+      .crossJoin(broadcast(classStats))
+    val scored = base
+      .join(sumln.withColumnRenamed(idCol, "__sid"),
+        col(idCol) === col("__sid") && col("__y") === col("__cls"), "left")
+      .drop("__sid", "__cls")
+      .withColumn("__score",
+        ln(col("__dn")) - ln(col("__nd")) + coalesce(col("__sl"), lit(0.0)) -
+          col("n_tokens") * ln(col("__tot") + col("__v")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(round(col("__score") + lit(1e-6), 6).desc, col("__y"))
+    scored
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") === 1)
+      .select(id, col("label_true"), col("n_tokens"),
+        col("__y").as("label_pred"), col("__score").as("score_raw"))
+  }
+
   /** APPLY a trained BPE merge table to the corpus — the inference half
     * of [[bpeTrain]]: words split to character symbols, each merge
     * `(l, r) → l+r` applied in rank order as the same left-to-right

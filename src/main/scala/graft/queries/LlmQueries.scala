@@ -1282,6 +1282,44 @@ object LlmQueries {
               | round(sw / n_tokens + 0.000001, 4) AS quality
               |FROM sc""".stripMargin)),
 
+    // Multiclass Naive-Bayes language classification — the TRAINED
+    // upgrade of the llm_lang_id heuristic: per-(token, lang) Laplace
+    // log-likelihoods + priors, absent pairs folded into closed form
+    // (they contribute ln 1 = 0), every doc assigned its argmax lang
+    // by the rounded-score rank. Self-training on the labeled corpus
+    // makes the gate a full train+predict replay; the oracle
+    // recomputes counts, smoothing, priors, scores and the argmax.
+    QueryDef("llm_lang_classify",
+      (s, dir) => Corpus.nbClassify(
+          QueryDef.table(s, dir, "documents"), "doc_id", "text", "lang")
+        .select(col("doc_id"), col("label_true"), col("n_tokens"),
+          col("label_pred"), round(col("score_raw") + lit(1e-6), 4).as("score"),
+          (col("label_true") === col("label_pred")).cast("int").as("correct")),
+      Some("""WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |c AS (SELECT token, lang AS y, count(*) AS c FROM t GROUP BY 1, 2),
+             |cs AS (SELECT y, sum(c) AS tot FROM c GROUP BY 1),
+             |dnn AS (SELECT lang AS y, count(*) AS dn FROM documents GROUP BY 1),
+             |vv AS (SELECT count(DISTINCT token) AS v FROM c),
+             |nd AS (SELECT count(*) AS nd FROM documents),
+             |sl AS (SELECT t.doc_id, c.y AS cls, sum(ln(c.c + 1.0)) AS sl
+             |  FROM t JOIN c ON c.token = t.token GROUP BY 1, 2),
+             |len AS (SELECT doc_id, count(*) AS n_tokens FROM t GROUP BY 1),
+             |base AS (SELECT d.doc_id, d.lang AS label_true, len.n_tokens,
+             |   cs.y, cs.tot, dnn.dn, vv.v, nd.nd
+             |  FROM documents d JOIN len USING (doc_id) CROSS JOIN cs
+             |   JOIN dnn ON dnn.y = cs.y CROSS JOIN vv CROSS JOIN nd),
+             |sc AS (SELECT base.*, ln(dn) - ln(nd) + coalesce(sl.sl, 0.0)
+             |   - n_tokens * ln(tot + v) AS score
+             |  FROM base LEFT JOIN sl
+             |   ON sl.doc_id = base.doc_id AND sl.cls = base.y),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |   ORDER BY round(score + 0.000001, 6) DESC, y) AS rnk FROM sc)
+             |SELECT doc_id, label_true, n_tokens, y AS label_pred,
+             | round(score + 0.000001, 4) AS score,
+             | CAST(label_true = y AS INT) AS correct
+             |FROM r WHERE rnk = 1""".stripMargin)),
+
     // Gopher-style repetition filters: fraction of tokens taken by the
     // most frequent token + fraction of repeated word bigrams, with the
     // keep decision (top <= 0.2 AND dup <= 0.3 — Gopher-inspired

@@ -860,6 +860,30 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(out(0L)._2 > out(4L)._2, "doc with 'now' (neg-leaning) scores below pure positive")
   }
 
+  test("nb classifier: class-specific vocab classifies correctly, priors break ties") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "hund katze maus hund", "de"),
+      (1L, "katze hund maus maus", "de"),
+      (2L, "dog cat mouse dog", "en"),
+      (3L, "cat dog mouse mouse", "en"),
+      (4L, "hund maus katze katze", "de"),
+      (5L, "dog mouse cat cat", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Corpus.nbClassify(docs, "doc_id", "text", "lang")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(3)))).toMap
+    assert(out.size == 6, "every doc classified exactly once")
+    assert(out.forall { case (_, (t, p)) => t == p },
+      s"disjoint vocabularies must classify perfectly: $out")
+    // a doc with NO shared tokens falls back to prior + length terms only
+    val novel = Corpus.nbClassify(
+        docs.union(Seq((9L, "zzz qqq", "en")).toDF("doc_id", "text", "lang")),
+        "doc_id", "text", "lang")
+      .filter(col("doc_id") === 9L).collect().head
+    assert(novel.getString(3) != null, "unseen-vocab doc still gets an argmax class")
+  }
+
   test("source overlap matrix: shared spans counted, zero pairs emitted, jaccard exact") {
     val docs = Seq(
       (0L, "a b c", "A"), (1L, "a b d", "B"), (2L, "x y z", "C")
