@@ -61,6 +61,14 @@ object PlanDump {
     dump("llm_emb_prune", llm.Embeddings.prototypePrune(
       emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
       pruneNum = 1, pruneDenom = 4))
+    dump("llm_quality_classifier", llm.Corpus.logOddsQuality(
+      docs, "doc_id", "text", col("lang") === "en"))
+    dump("llm_lang_classify", llm.Corpus.nbClassify(
+      docs, "doc_id", "text", "lang"))
+    dump("llm_bpe_encode", llm.Corpus.bpeEncode(docs, "doc_id", "text",
+      Seq("e" -> "r", "o" -> "w", "r" -> "ow", "s" -> "t")))
+    dump("llm_sample_temperature", llm.Sampling.temperatureSample(
+      docs, "doc_id", "source", targetDocs = 300L))
     val idxDir = "/root/repo/target/tmp/plandump_sig_index"
     llm.Dedup.signatureIndex(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
       .write.mode("overwrite").parquet(idxDir)
