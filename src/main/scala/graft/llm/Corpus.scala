@@ -587,6 +587,14 @@ object Corpus {
     * argmax ranks by the 6-decimal-ROUNDED score (class-name
     * tie-break) per the repo's transcendental convention.
     *
+    * The LAZY plan re-derives the token explode for each training
+    * aggregate (~8 corpus scans total — committed plan snapshot
+    * `docs/plans/llm_lang_classify.txt`); a production caller at
+    * corpus scale should `persist()` the exploded (id, label, token)
+    * frame — or TRAIN once (persist the vocabulary-sized counts +
+    * class stats as tables, the same move as the BM25 index) and
+    * score many batches against them.
+    *
     * Output: (idCol, label_true, n_tokens, label_pred, score_raw of
     * the winner).
     */
