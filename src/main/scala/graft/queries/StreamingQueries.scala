@@ -404,6 +404,49 @@ object StreamingQueries {
       },
       Some(LlmQueries.streamScreenSql)),
 
+    // Streaming QUALITY screen: the heuristic-filter half of ingest
+    // (stream_ingest_screen is the dedup half) — arriving docs get the
+    // Gopher-style verdict as pure per-row column math, stateless so
+    // batching-invariant; the oracle replays quality + repetition
+    // metrics and the keep decision over the same shard.
+    QueryDef("stream_quality_screen",
+      (s, dir) => {
+        val (_, shardDir) = stageDocsScreen(s, dir)
+        runBounded(s,
+          graft.streaming.DocsStream.qualityScreen(
+            graft.streaming.DocsStream.readDocs(s, shardDir,
+              maxFilesPerTrigger = Some(1)),
+            "doc_id", "text"),
+          "graft_stream_quality", OutputMode.Append())
+          .select(col("doc_id"),
+            round(col("quality_raw") + lit(1e-6), 4).as("quality"),
+            round(col("top_frac_raw") + lit(1e-6), 4).as("top_frac"),
+            round(col("dup_frac_raw") + lit(1e-6), 4).as("dup_bigram_frac"),
+            col("is_kept").cast("int").as("is_kept"))
+      },
+      Some {
+        val stop = graft.llm.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+        val sh2 = "list_transform(range(1, greatest(len(w)-1, 1)+1), " +
+          "i -> array_to_string(w[i:i+1], ' '))"
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |m AS (SELECT doc_id,
+           |  0.3 * least(len(w)::DOUBLE / 100.0, 1.0)
+           |  + 0.4 * (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE)
+           |  + 0.3 * (1.0 - len(list_filter(w, x -> x IN ($stop)))::DOUBLE / len(w)::DOUBLE)
+           |   AS qual,
+           |  list_max(list_transform(list_distinct(w),
+           |    x -> len(list_filter(w, y -> y = x))))::DOUBLE / len(w) AS top_frac,
+           |  1.0 - len(list_distinct($sh2))::DOUBLE / len($sh2) AS dup_frac
+           | FROM t)
+           |SELECT doc_id, round(qual + 0.000001, 4) AS quality,
+           | round(top_frac + 0.000001, 4) AS top_frac,
+           | round(dup_frac + 0.000001, 4) AS dup_bigram_frac,
+           | CAST(CASE WHEN qual >= 0.5 AND top_frac <= 0.2 AND dup_frac <= 0.3
+           |   THEN 1 ELSE 0 END AS INT) AS is_kept
+           |FROM m""".stripMargin
+      }),
+
     // MULTI-BATCH stream-stream interval join: one time-ordered file per
     // micro-batch; a click near a chunk boundary must survive in join
     // state until its error arrives in the NEXT batch, and old click

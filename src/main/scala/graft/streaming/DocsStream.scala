@@ -83,4 +83,27 @@ object DocsStream {
         TextFunctions.jaccard(col("hs"), col("__ihs")).as("jaccard"))
       .filter(col("jaccard") >= lit(minJaccard))
   }
+
+  /** Stateless streaming QUALITY screen — the heuristic-filter half of
+    * the ingest pipeline ([[indexScreen]] is the dedup half): every
+    * arriving document gets the Gopher-style verdict (composite quality
+    * score, top-token fraction, duplicated-bigram fraction, keep flag)
+    * as pure per-row column math. No join, no watermark, no state
+    * store — the verdict is batching-invariant by construction, so the
+    * batch oracle replays it exactly for any micro-batch carve-up.
+    * Thresholding the RAW doubles is safe: both engines evaluate the
+    * identical IEEE expression (the llm_quality / _repetition gates pin
+    * each metric).
+    */
+  def qualityScreen(shard: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    shard
+      .select(col(idCol),
+        TextFunctions.qualityScore(col(textCol)).as("quality_raw"),
+        TextFunctions.topTokenFraction(toks).as("top_frac_raw"),
+        TextFunctions.dupBigramFraction(toks).as("dup_frac_raw"))
+      .withColumn("is_kept",
+        col("quality_raw") >= lit(0.5) && col("top_frac_raw") <= lit(0.2) &&
+          col("dup_frac_raw") <= lit(0.3))
+  }
 }
