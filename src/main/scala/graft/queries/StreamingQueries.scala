@@ -447,6 +447,53 @@ object StreamingQueries {
            |FROM m""".stripMargin
       }),
 
+    // Streaming DECONTAMINATION screen: arriving docs' 8-grams stream
+    // through the codegen'd Bloom probe (per-row bit test, right after
+    // the source) and confirm against the exact eval-gram set with a
+    // stream-static semi join — eval set = documents with
+    // doc_id % 50 = 0, shard = doc_id % 10 = 0 (eval docs inside the
+    // shard self-flag, which the oracle replays too). Stateless, one
+    // row per contaminated gram occurrence; the gate aggregates hits
+    // per doc. With the dedup, ANN and quality screens this completes
+    // the four-screen ingest suite.
+    QueryDef("stream_decontam_screen",
+      (s, dir) => {
+        val (_, shardDir) = stageDocsScreen(s, dir)
+        val evalDocs = QueryDef.table(s, dir, "documents")
+          .filter(col("doc_id") % 50 === 0)
+        val (evalGrams, sketch) =
+          graft.streaming.DocsStream.evalGramSketch(evalDocs, "text")
+        // the memory sink holds the materialized rows once runBounded
+        // returns, so the static gram frame can unpersist immediately
+        val res = try {
+          runBounded(s,
+            graft.streaming.DocsStream.decontamScreen(
+              graft.streaming.DocsStream.readDocs(s, shardDir,
+                maxFilesPerTrigger = Some(1)),
+              evalGrams, sketch, "doc_id", "text"),
+            "graft_stream_decontam", OutputMode.Append())
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+        } finally evalGrams.unpersist()
+        QueryDef.table(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+          .join(res, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("__n"), lit(0L)).as("n_hits"),
+            (coalesce(col("__n"), lit(0L)) === 0).as("is_clean"))
+      },
+      Some {
+        val sh8 = "list_transform(range(1, greatest(len(w)-7, 1)+1), " +
+          "i -> array_to_string(w[i:i+7], ' '))"
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |ev AS (SELECT DISTINCT unnest($sh8) AS g FROM t WHERE doc_id % 50 = 0),
+           |sg AS (SELECT doc_id, unnest($sh8) AS g FROM t WHERE doc_id % 10 = 0),
+           |h AS (SELECT sg.doc_id, count(*) AS n FROM sg JOIN ev USING (g) GROUP BY 1)
+           |SELECT s2.doc_id, coalesce(h.n, 0) AS n_hits,
+           | coalesce(h.n, 0) = 0 AS is_clean
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) s2
+           | LEFT JOIN h ON h.doc_id = s2.doc_id""".stripMargin
+      }),
+
     // MULTI-BATCH stream-stream interval join: one time-ordered file per
     // micro-batch; a click near a chunk boundary must survive in join
     // state until its error arrives in the NEXT batch, and old click

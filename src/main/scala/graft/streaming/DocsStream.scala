@@ -84,6 +84,55 @@ object DocsStream {
       .filter(col("jaccard") >= lit(minJaccard))
   }
 
+  /** Build the static side of [[decontamScreen]]: the eval set's
+    * distinct n-grams (persisted — probed once per micro-batch) and
+    * their serialized Bloom sketch. Caller owns the unpersist after
+    * the stream stops.
+    */
+  def evalGramSketch(
+      evalDocs: DataFrame, textCol: String,
+      n: Int = 8, fpp: Double = 0.01): (DataFrame, Array[Byte]) = {
+    val evalGrams = evalDocs
+      .select(explode(
+        TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), n)).as("g"))
+      .distinct()
+      .persist()
+    val bloom = evalGrams.stat.bloomFilter("g", math.max(evalGrams.count(), 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    (evalGrams, bos.toByteArray)
+  }
+
+  /** Stateless streaming DECONTAMINATION screen — the eval-overlap half
+    * of ingest ([[indexScreen]] dedups, [[qualityScreen]] filters):
+    * every arriving document's n-grams stream through the codegen'd
+    * Bloom probe right after the source (per-row bit test, no shuffle)
+    * and survivors confirm against the exact eval-gram set with a
+    * stream-static LEFT SEMI join — so ~(overlap + fpp·grams) rows
+    * reach the join and the Bloom's false positives are invisible, the
+    * same shape as the batch `llm_decontaminate_bloom`. No watermark,
+    * no state store: one row per contaminated gram OCCURRENCE,
+    * batching-invariant; downstream aggregates hits per doc.
+    */
+  def decontamScreen(
+      shard: DataFrame, evalGrams: DataFrame, sketchBytes: Array[Byte],
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val probe =
+      if (graft.plans.GraftExtensions.registered(shard.sparkSession))
+        call_function("graft_bloom_might_contain", col("g"), lit(sketchBytes))
+      else {
+        val sketch = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+        udf((g: String) => g != null && sketch.mightContainString(g)).apply(col("g"))
+      }
+    shard
+      .select(col(idCol), explode(
+        TextFunctions.wordShingles(TextFunctions.tokens(col(textCol)), n)).as("g"))
+      .filter(probe)
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select(col(idCol), col("g"))
+  }
+
   /** Stateless streaming QUALITY screen — the heuristic-filter half of
     * the ingest pipeline ([[indexScreen]] is the dedup half): every
     * arriving document gets the Gopher-style verdict (composite quality
