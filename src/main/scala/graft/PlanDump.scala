@@ -69,6 +69,24 @@ object PlanDump {
       Seq("e" -> "r", "o" -> "w", "r" -> "ow", "s" -> "t")))
     dump("llm_sample_temperature", llm.Sampling.temperatureSample(
       docs, "doc_id", "source", targetDocs = 300L))
+    // the production hybrid path: both halves served from persisted
+    // indexes, fused by RRF (llm_hybrid_indexed's plan, sf0.001 build)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_plandump")
+    llm.Retrieval.writeBm25Index(docs, "doc_id", "text",
+      "graft_plandump.bm25", "/root/repo/target/tmp/plandump_bm25")
+    llm.Embeddings.writeIvfIndex(emb,
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      "graft_plandump.ivf", "/root/repo/target/tmp/plandump_ivf")
+    dump("llm_hybrid_indexed", llm.Retrieval.rrfFuse(
+      llm.Retrieval.bm25IndexedTopK(spark, "graft_plandump.bm25",
+        docs.filter(col("doc_id") < 5), "doc_id", "text", k = 20,
+        excludeSelf = true)
+        .select(col("query_id"), col("doc_id"), col("rnk")),
+      llm.Embeddings.ivfIndexedTopK(spark, "graft_plandump.ivf",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        nprobe = 3, k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk")),
+      "doc_id", k = 10))
     val idxDir = "/root/repo/target/tmp/plandump_sig_index"
     llm.Dedup.signatureIndex(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
       .write.mode("overwrite").parquet(idxDir)
