@@ -417,9 +417,16 @@ object Corpus {
       .join(dupHashes, Seq("__h"), "left_semi")
       .groupBy(id).agg(collect_list(col("__p")).as("__ps"))
     val toks = TextFunctions.tokens(col(textCol))
-    val covered: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      j => exists(col("__ps"), p => p <= j && j <= p + lit(n - 1))
-    val kept = filter(sequence(lit(0), size(toks) - 1), j => !covered(j))
+    // Coverage via the enumerated hit-interval union: each hit [p, p+n-1]
+    // expands once (n positions) and one hash-based array_except removes
+    // the union from the position range — O(T + H·n) per document, where
+    // the per-position `exists` probe this replaces was O(T·H): quadratic
+    // exactly on boilerplate-saturated documents (hits ≈ tokens), the
+    // input this operator targets. Same kept set, same ascending order
+    // (array_except preserves first-array order), so the rebuilt text is
+    // bit-identical.
+    val covered = flatten(transform(col("__ps"), p => sequence(p, p + lit(n - 1))))
+    val kept = array_except(sequence(lit(0), size(toks) - 1), covered)
     docs
       .join(hits, Seq(idCol), "left")
       .withColumn("__ps", coalesce(col("__ps"), array()))
@@ -562,10 +569,17 @@ object Corpus {
       .select(col("token"), ln(
         ((col("__cp") + lit(1.0)) / (col("__tp") + col("__v"))) /
           ((col("__cn") + lit(1.0)) / (col("__tn") + col("__v")))).as("__w"))
+    // LEFT join + coalesce (ADVICE r6): under the "train once, score
+    // many batches" pattern, inference tokens outside the training
+    // vocabulary must contribute weight 0 and still count in n_tokens —
+    // the inner join silently dropped them (and dropped a doc entirely
+    // when NO token was seen). Self-training callers (the gate) see the
+    // identical result: every token is in the weight table.
     toks
-      .join(weights, Seq("token"))
+      .join(weights, Seq("token"), "left")
       .groupBy(id)
-      .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("__sw"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__w"), lit(0.0))).as("__sw"))
       .select(id, col("n_tokens"),
         (col("__sw") / col("n_tokens")).as("quality_raw"))
   }

@@ -101,9 +101,9 @@ object Decontamination {
     * (a token survives iff NO hit covers it). The rebuild is pure
     * per-row column arithmetic: positions come back as one small array
     * per contaminated document (broadcast-join-sized — most documents
-    * have none and skip via the left join's null), then one
-    * `filter(sequence)` × `exists` pass keeps the uncovered tokens.
-    * O(tokens × hit-spans) per row, no shuffle beyond the hit join.
+    * have none and skip via the left join's null), then one interval-
+    * union `array_except` pass keeps the uncovered tokens.
+    * O(tokens + hits·n) per row, no shuffle beyond the hit join.
     *
     * Returns every corpus document: `(idCol, text, n_removed)` with
     * `text` rebuilt from the kept tokens (single-space convention of
@@ -126,9 +126,14 @@ object Decontamination {
       .join(evalGrams, Seq("g"), "left_semi")
       .groupBy(col(idCol)).agg(collect_list(col("p")).as("__ps"))
     val toks = TextFunctions.tokens(col(textCol))
-    val covered: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      j => exists(col("__ps"), p => p <= j && j <= p + lit(n - 1))
-    val kept = filter(sequence(lit(0), size(toks) - 1), j => !covered(j))
+    // Interval-union coverage, O(T + H·n) per row (same fix as
+    // [[Corpus.scrubDuplicateSpans]]): enumerate each hit's [p, p+n-1]
+    // once and array_except the union out of the position range, instead
+    // of probing every token position against every hit (O(T·H), which
+    // goes quadratic on heavily contaminated documents). Identical kept
+    // set and order.
+    val covered = flatten(transform(col("__ps"), p => sequence(p, p + lit(n - 1))))
+    val kept = array_except(sequence(lit(0), size(toks) - 1), covered)
     Dedup.scoped(
       corpus
         .join(hits, Seq(idCol), "left")

@@ -300,19 +300,27 @@ object Dedup {
     var rounds = 0
     while (changed > 0 && rounds < MaxRounds) {
       val viaNeighbors = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
+        .select(col("dst").as("id"), col("label"),
+          lit(null).cast("long").as("__old"))
       // Pointer jumping: u's label p contributes p's own label — labels
       // always point to a smaller id in the same component, so this is
       // sound, and it is what makes convergence logarithmic.
       val viaParent = labels.as("x")
         .join(labels.as("y"), col("x.label") === col("y.id"))
-        .select(col("x.id").as("id"), col("y.label").as("label"))
-      val next = labels.union(viaNeighbors).union(viaParent)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .select(col("x.id").as("id"), col("y.label").as("label"),
+          lit(null).cast("long").as("__old"))
+      // The self branch carries the previous label through the aggregate
+      // (max over one non-null value per id), so the convergence count is
+      // a filter over the just-checkpointed blocks — the r6 form joined
+      // `next` back against `labels`, a whole extra shuffle join job per
+      // round (guide §2.4).
+      val self = labels.select(col("id"), col("label"), col("label").as("__old"))
+      val next = self.union(viaNeighbors).union(viaParent)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("__old")).as("__old"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("p"), Seq("id"))
-        .filter(col("n.label") =!= col("p.label")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("__old")).count()
+      labels = next.select(col("id"), col("label"))
       rounds += 1
     }
     edges.unpersist()
@@ -511,17 +519,25 @@ object Dedup {
     */
   def writeBandedIndex(index: DataFrame, name: String, pathRoot: String,
       buckets: Int = 32, bands: Int = 6, rowsPerBand: Int = 2): Unit = {
-    index.select(col("id"),
-        explode(TextFunctions.lshBandKeysFromSig(col("sig"), bands, rowsPerBand))
-          .as("band"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "band").sortBy("band")
-      .option("path", s"$pathRoot/bands")
-      .saveAsTable(s"${name}_bands")
-    index.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "id")
-      .option("path", s"$pathRoot/sigs")
-      .saveAsTable(s"${name}_sigs")
+    // Persist across the two table writes: both plans consume the same
+    // signature frame, and without the cache the (md5 shingle-hash +
+    // MinHash) tree — i.e. a full corpus text scan — runs once PER WRITE
+    // (guide §2.4: don't compute things twice). The cache holds only
+    // (id, hs, sig), never text.
+    val idx = index.persist()
+    try {
+      idx.select(col("id"),
+          explode(TextFunctions.lshBandKeysFromSig(col("sig"), bands, rowsPerBand))
+            .as("band"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "band").sortBy("band")
+        .option("path", s"$pathRoot/bands")
+        .saveAsTable(s"${name}_bands")
+      idx.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "id")
+        .option("path", s"$pathRoot/sigs")
+        .saveAsTable(s"${name}_sigs")
+    } finally idx.unpersist(blocking = false)
   }
 
   /** [[incrementalPairs]] against a [[writeBandedIndex]] layout —

@@ -136,7 +136,11 @@ object Sampling {
     * hazard left is the Σ√n normalizer's 20-term summation order, which
     * the repo's round-then-floor convention absorbs (both engines floor
     * the identical 6-decimal rounding, so the integer n_keep can't
-    * knife-edge).
+    * knife-edge). Note the boundary semantics (ADVICE r6): when
+    * q·target sits within 1e-6 BELOW an integer, the nudge rounds it up
+    * and n_keep is that integer — i.e. the epsilon can shift the kept
+    * count by one at exact boundaries, deterministically and on both
+    * engines; it does not merely break ties.
     *
     * Scale shape: source counts are a |sources|-row aggregate broadcast
     * back; the md5 rank is one window per source (the same per-source

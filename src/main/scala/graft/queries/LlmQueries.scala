@@ -560,7 +560,7 @@ object LlmQueries {
     QueryDef("llm_dedup_incremental",
       (s, dir) => {
         val docs = QueryDef.table(s, dir, "documents")
-        val idxDir = s"target/tmp/sig_index_${math.abs(dir.hashCode)}"
+        val idxDir = s"target/tmp/sig_index_${QueryDef.dirSlug(dir)}"
         Dedup.signatureIndex(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
           .write.mode("overwrite").parquet(idxDir)
         Dedup.incrementalPairs(
@@ -584,11 +584,11 @@ object LlmQueries {
       (s, dir) => {
         val docs = QueryDef.table(s, dir, "documents")
         s.sql("CREATE DATABASE IF NOT EXISTS graft_dedup")
-        val name = s"graft_dedup.sig_idx_${math.abs(dir.hashCode)}"
+        val name = s"graft_dedup.sig_idx_${QueryDef.dirSlug(dir)}"
         Dedup.writeBandedIndex(
           Dedup.signatureIndex(docs.filter(col("doc_id") % 10 =!= 0),
             "doc_id", "text"),
-          name, s"target/tmp/sig_idx_bucketed_${math.abs(dir.hashCode)}")
+          name, s"target/tmp/sig_idx_bucketed_${QueryDef.dirSlug(dir)}")
         Dedup.incrementalPairsBucketed(s, name,
             docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
           .select(col("id_a"), col("id_b"),
@@ -605,7 +605,7 @@ object LlmQueries {
     QueryDef("llm_ingest_filter",
       (s, dir) => {
         val docs = QueryDef.table(s, dir, "documents")
-        val idxDir = s"target/tmp/sig_index_${math.abs(dir.hashCode)}_ingest"
+        val idxDir = s"target/tmp/sig_index_${QueryDef.dirSlug(dir)}_ingest"
         Dedup.signatureIndex(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
           .write.mode("overwrite").parquet(idxDir)
         Dedup.ingestFilter(
@@ -1410,9 +1410,9 @@ object LlmQueries {
       (s, dir) => {
         val docs = QueryDef.table(s, dir, "documents")
         s.sql("CREATE DATABASE IF NOT EXISTS graft_lex")
-        val name = s"graft_lex.bm25_${math.abs(dir.hashCode)}"
+        val name = s"graft_lex.bm25_${QueryDef.dirSlug(dir)}"
         Retrieval.writeBm25Index(docs.filter(col("doc_id") % 10 =!= 0),
-          "doc_id", "text", name, s"target/tmp/bm25_${math.abs(dir.hashCode)}")
+          "doc_id", "text", name, s"target/tmp/bm25_${QueryDef.dirSlug(dir)}")
         Retrieval.appendBm25Shard(s, name,
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
         Retrieval.bm25IndexedTopK(s, name, docs.filter(col("doc_id") < 5),
@@ -1499,7 +1499,7 @@ object LlmQueries {
         val emb = QueryDef.table(s, dir, "embeddings")
         s.sql("CREATE DATABASE IF NOT EXISTS graft_lex")
         s.sql("CREATE DATABASE IF NOT EXISTS graft_ann")
-        val h = math.abs(dir.hashCode)
+        val h = QueryDef.dirSlug(dir)
         val lname = s"graft_lex.bm25_hy_$h"
         val vname = s"graft_ann.ivf_hy_$h"
         Retrieval.writeBm25Index(docs, "doc_id", "text", lname,
@@ -2183,9 +2183,9 @@ object LlmQueries {
       (s, dir) => {
         val emb = QueryDef.table(s, dir, "embeddings")
         s.sql("CREATE DATABASE IF NOT EXISTS graft_ann")
-        val name = s"graft_ann.ivf_idx_${math.abs(dir.hashCode)}"
+        val name = s"graft_ann.ivf_idx_${QueryDef.dirSlug(dir)}"
         Embeddings.writeIvfIndex(emb, lloydCentroids(emb), "vec_id", "embedding",
-          name, s"target/tmp/ivf_idx_${math.abs(dir.hashCode)}")
+          name, s"target/tmp/ivf_idx_${QueryDef.dirSlug(dir)}")
         Embeddings.ivfIndexedTopK(s, name, emb.filter(col("vec_id") < 50),
             "vec_id", "embedding", nprobe = 3, k = 3)
           .select(col("query_id"), col("neighbor_id"), col("rnk"))
@@ -2203,11 +2203,11 @@ object LlmQueries {
       (s, dir) => {
         val emb = QueryDef.table(s, dir, "embeddings")
         s.sql("CREATE DATABASE IF NOT EXISTS graft_ann")
-        val name = s"graft_ann.ivf_incr_${math.abs(dir.hashCode)}"
+        val name = s"graft_ann.ivf_incr_${QueryDef.dirSlug(dir)}"
         Embeddings.writeIvfIndex(
           emb.filter(col("vec_id") % 10 =!= 0), lloydCentroids(emb),
           "vec_id", "embedding",
-          name, s"target/tmp/ivf_incr_${math.abs(dir.hashCode)}")
+          name, s"target/tmp/ivf_incr_${QueryDef.dirSlug(dir)}")
         Embeddings.appendIvfShard(s, name,
           emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding")
         Embeddings.ivfIndexedTopK(s, name, emb.filter(col("vec_id") < 50),
@@ -2228,8 +2228,8 @@ object LlmQueries {
       (s, dir) => {
         val emb = QueryDef.table(s, dir, "embeddings")
         s.sql("CREATE DATABASE IF NOT EXISTS graft_ann")
-        val name = s"graft_ann.ivf_cpt_${math.abs(dir.hashCode)}"
-        val root = s"target/tmp/ivf_cpt_${math.abs(dir.hashCode)}"
+        val name = s"graft_ann.ivf_cpt_${QueryDef.dirSlug(dir)}"
+        val root = s"target/tmp/ivf_cpt_${QueryDef.dirSlug(dir)}"
         Embeddings.writeIvfIndex(
           emb.filter(col("vec_id") % 10 =!= 0), lloydCentroids(emb),
           "vec_id", "embedding", name, root)

@@ -29,6 +29,17 @@ object QueryDef {
     * plain cast, which under the fixed UTC session zone relabels the
     * same wall-clock instant bit-identically to DuckDB's reading.
     */
+  /** Identifier-safe slug of a data directory, for per-dir catalog table
+    * and scratch-path names (ADVICE r6): the previous
+    * `math.abs(dir.hashCode)` stayed negative for Int.MinValue (invalid
+    * in an identifier) and let distinct dirs collide, overwriting each
+    * other's index tables under interleaved gate runs. A sanitized
+    * dir-derived slug is unique per dir and always a valid identifier
+    * fragment.
+    */
+  def dirSlug(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+
   private def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}

@@ -27,11 +27,16 @@ object StreamingQueries {
     val sf = Paths.get(sfDir).getFileName.toString
     val dst = s"/root/repo/target/stream_src/$sf-$name"
     if (!new java.io.File(s"$dst/_STAGED_$copies").exists()) {
+      // persist across the per-copy writes: each write otherwise re-scans
+      // and re-normalizes the source parquet (guide §2.4)
       val ev = QueryDef.table(s, sfDir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts"))
-      ev.write.mode("overwrite").parquet(dst)
-      for (_ <- 1 until copies) ev.write.mode("append").parquet(dst)
+        .persist()
+      try {
+        ev.write.mode("overwrite").parquet(dst)
+        for (_ <- 1 until copies) ev.write.mode("append").parquet(dst)
+      } finally ev.unpersist(blocking = false)
       Files.createFile(Paths.get(s"$dst/_STAGED_$copies"))
     }
     dst
@@ -72,9 +77,14 @@ object StreamingQueries {
       val dstDir = new java.io.File(dst)
       if (dstDir.exists()) graft.Fs.deleteRecursively(dstDir)
       Files.createDirectories(Paths.get(dst))
+      // persist for the staging jobs below: the quantile probe, the
+      // extent check and every per-chunk filtered write otherwise each
+      // re-scan the source parquet — 8 scans for a 6-chunk staging
+      // (guide §2.4); the cache is dropped before the gate's stream runs
       val ev = QueryDef.table(s, sfDir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts"))
+        .persist()
       val qs = (1 until chunks).map(_.toDouble / chunks).toArray
       val bounds = ev.select(col("ts").cast("double").as("t"))
         .stat.approxQuantile("t", qs, 0.001)
@@ -117,6 +127,7 @@ object StreamingQueries {
         }
         graft.Fs.deleteRecursively(new java.io.File(tmp))
       }
+      ev.unpersist(blocking = false)
       Files.createFile(Paths.get(marker))
     }
     dst
@@ -146,9 +157,12 @@ object StreamingQueries {
       val dstDir = new java.io.File(shardDst)
       if (dstDir.exists()) graft.Fs.deleteRecursively(dstDir)
       Files.createDirectories(Paths.get(shardDst))
+      // persist the shard across the 5 chunk writes (guide §2.4): each
+      // otherwise re-scans the documents parquet
+      val shard = docs.filter(col("doc_id") % 10 === 0).persist()
       for (c <- 0 until 5) {
         val tmp = s"$shardDst/__tmp"
-        docs.filter(col("doc_id") % 10 === 0 && expr("doc_id div 10") % 5 === c)
+        shard.filter(expr("doc_id div 10") % 5 === c)
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .filter(_.getName.endsWith(".parquet")).head
@@ -157,6 +171,7 @@ object StreamingQueries {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         graft.Fs.deleteRecursively(new java.io.File(tmp))
       }
+      shard.unpersist(blocking = false)
       Files.createFile(Paths.get(s"$shardDst/_STAGED"))
     }
     (idxDst, shardDst)
@@ -178,10 +193,12 @@ object StreamingQueries {
       val dstDir = new java.io.File(shardDst)
       if (dstDir.exists()) graft.Fs.deleteRecursively(dstDir)
       Files.createDirectories(Paths.get(shardDst))
-      val emb = QueryDef.table(s, sfDir, "embeddings")
+      // persist the shard across the 5 chunk writes (guide §2.4)
+      val shard = QueryDef.table(s, sfDir, "embeddings")
+        .filter(col("vec_id") % 10 === 0).persist()
       for (c <- 0 until 5) {
         val tmp = s"$shardDst/__tmp"
-        emb.filter(col("vec_id") % 10 === 0 && expr("vec_id div 10") % 5 === c)
+        shard.filter(expr("vec_id div 10") % 5 === c)
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .filter(_.getName.endsWith(".parquet")).head
@@ -190,6 +207,7 @@ object StreamingQueries {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         graft.Fs.deleteRecursively(new java.io.File(tmp))
       }
+      shard.unpersist(blocking = false)
       Files.createFile(Paths.get(s"$shardDst/_STAGED"))
     }
     shardDst
@@ -286,13 +304,16 @@ object StreamingQueries {
           EventsStream.enriched(
               EventsStream.readEvents(s, src), dim, "user_id", "c_custkey")
             .groupBy(col("c_mktsegment"))
+            // +1e-6 nudge (repo rounding convention, see
+            // stream_running_features): order-dependent double sums vs
+            // DuckDB's arbitrary-order sum could ulp-flip a .xx5 boundary
             .agg(count(lit(1)).as("n_events"),
-              round(sum(col("value")), 2).as("total_value")),
+              round(sum(col("value")) + lit(1e-6), 2).as("total_value")),
           "graft_stream_enrich", OutputMode.Complete())
         res.select(col("c_mktsegment"), col("n_events"), col("total_value"))
       },
       Some("""SELECT c_mktsegment, count(*) AS n_events,
-             | round(sum(value), 2) AS total_value
+             | round(sum(value) + 1e-6, 2) AS total_value
              |FROM events JOIN customer ON user_id = c_custkey
              |GROUP BY c_mktsegment""".stripMargin)),
 
@@ -314,12 +335,13 @@ object StreamingQueries {
           EventsStream.dedup(
             EventsStream.readEvents(s, src, maxFilesPerTrigger = Some(Int.MaxValue))),
           "graft_stream_dedup", OutputMode.Append())
+        // +1e-6 nudge: see stream_enrich
         res.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_unique"),
-            round(sum(col("value")), 2).as("value_sum"))
+            round(sum(col("value")) + lit(1e-6), 2).as("value_sum"))
       },
       Some("""SELECT event_type, count(*) AS n_unique,
-             | round(sum(value), 2) AS value_sum
+             | round(sum(value) + 1e-6, 2) AS value_sum
              |FROM events GROUP BY event_type""".stripMargin)),
 
     // MULTI-BATCH streaming dedup (ADVICE r3): 6 event-time-ordered
@@ -337,12 +359,13 @@ object StreamingQueries {
             EventsStream.readEvents(s, src, maxFilesPerTrigger = Some(1)),
             delay = "7 days"),
           "graft_stream_dedup_mb", OutputMode.Append())
+        // +1e-6 nudge: see stream_enrich
         res.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_unique"),
-            round(sum(col("value")), 2).as("value_sum"))
+            round(sum(col("value")) + lit(1e-6), 2).as("value_sum"))
       },
       Some("""SELECT event_type, count(*) AS n_unique,
-             | round(sum(value), 2) AS value_sum
+             | round(sum(value) + 1e-6, 2) AS value_sum
              |FROM events GROUP BY event_type""".stripMargin)),
 
     // Custom per-key state (flatMapGroupsWithState), gated: running
@@ -442,7 +465,9 @@ object StreamingQueries {
            |SELECT doc_id, round(qual + 0.000001, 4) AS quality,
            | round(top_frac + 0.000001, 4) AS top_frac,
            | round(dup_frac + 0.000001, 4) AS dup_bigram_frac,
-           | CAST(CASE WHEN qual >= 0.5 AND top_frac <= 0.2 AND dup_frac <= 0.3
+           | CAST(CASE WHEN round(qual + 0.000001, 4) >= 0.5
+           |   AND round(top_frac + 0.000001, 4) <= 0.2
+           |   AND round(dup_frac + 0.000001, 4) <= 0.3
            |   THEN 1 ELSE 0 END AS INT) AS is_kept
            |FROM m""".stripMargin
       }),
@@ -533,11 +558,11 @@ object StreamingQueries {
       (s, dir) => {
         val emb = QueryDef.table(s, dir, "embeddings")
         s.sql("CREATE DATABASE IF NOT EXISTS graft_ann")
-        val name = s"graft_ann.stream_ivf_${math.abs(dir.hashCode)}"
+        val name = s"graft_ann.stream_ivf_${QueryDef.dirSlug(dir)}"
         graft.llm.Embeddings.writeIvfIndex(
           emb.filter(col("vec_id") % 10 =!= 0), LlmQueries.lloydCentroids(emb),
           "vec_id", "embedding",
-          name, s"target/tmp/stream_ivf_${math.abs(dir.hashCode)}")
+          name, s"target/tmp/stream_ivf_${QueryDef.dirSlug(dir)}")
         val shardDir = stageEmbScreen(s, dir)
         val res = runBounded(s,
           graft.streaming.EmbStream.annScreen(s, name,

@@ -140,19 +140,22 @@ object DocsStream {
     * as pure per-row column math. No join, no watermark, no state
     * store — the verdict is batching-invariant by construction, so the
     * batch oracle replays it exactly for any micro-batch carve-up.
-    * Thresholding the RAW doubles is safe: both engines evaluate the
-    * identical IEEE expression (the llm_quality / _repetition gates pin
-    * each metric).
+    * The keep decision thresholds the 4-decimal-ROUNDED (+1e-6) metrics
+    * — the repo's round-then-compare convention (ADVICE r6: the raw
+    * doubles are computed independently by each engine, so a
+    * knife-edge document could flip a raw-threshold verdict across
+    * engines); the raw columns ride along for the gate's hash.
     */
   def qualityScreen(shard: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
+    def r4(c: org.apache.spark.sql.Column) = round(c + lit(1e-6), 4)
     shard
       .select(col(idCol),
         TextFunctions.qualityScore(col(textCol)).as("quality_raw"),
         TextFunctions.topTokenFraction(toks).as("top_frac_raw"),
         TextFunctions.dupBigramFraction(toks).as("dup_frac_raw"))
       .withColumn("is_kept",
-        col("quality_raw") >= lit(0.5) && col("top_frac_raw") <= lit(0.2) &&
-          col("dup_frac_raw") <= lit(0.3))
+        r4(col("quality_raw")) >= lit(0.5) && r4(col("top_frac_raw")) <= lit(0.2) &&
+          r4(col("dup_frac_raw")) <= lit(0.3))
   }
 }

@@ -135,6 +135,74 @@ object MicroBench {
         typedLit(bpeMerges.map(_._1)), typedLit(bpeMerges.map(_._2)))).as("n"))
         .filter(col("n") > 999))
     println(f"""{"case":"bpe_speedup","x":${bh / bn}%.2f}""")
+
+    // r7: span-scrub coverage rebuild, naive per-position exists probe
+    // (O(T·H) per row) vs the interval-union array_except (O(T + H·n)) —
+    // the expression swap inside Corpus.scrubDuplicateSpans /
+    // Decontamination.scrubSpans, on the worst-case shape it was swapped
+    // FOR: boilerplate-saturated documents (every 5-gram position a
+    // hit). 2,000 cached rows × 1,000 token positions × 996 hits; both
+    // forms write to the noop sink so every output column is computed.
+    val spanN = 5
+    val scrubDocs = spark.range(0, 2000).select(col("id"),
+        transform(sequence(lit(1), lit(1000)),
+          i => concat(lit("tok"), pmod(hash(col("id") + i), lit(50)))).as("toks"),
+        sequence(lit(0), lit(995)).as("__ps"))
+      .persist()
+    scrubDocs.count()
+    def timeNoop(label: String)(mk: => org.apache.spark.sql.DataFrame): Double = {
+      mk.write.format("noop").mode("overwrite").save() // warm
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = runs.min
+      println(f"""{"case":"$label","best_s":$best%.3f,"runs":[${runs.map(r => f"$r%.3f").mkString(",")}]}""")
+      best
+    }
+    def rebuilt(kept: org.apache.spark.sql.Column) =
+      scrubDocs.select(col("id"),
+        array_join(transform(kept, j => element_at(col("toks"), j + 1)), " ").as("text"),
+        (size(col("toks")) - size(kept)).as("n_removed"))
+    val scrubOld = timeNoop("scrub_exists_probe")(rebuilt(
+      filter(sequence(lit(0), size(col("toks")) - 1),
+        j => !exists(col("__ps"), p => p <= j && j <= p + lit(spanN - 1)))))
+    val scrubNew = timeNoop("scrub_interval_union")(rebuilt(
+      array_except(sequence(lit(0), size(col("toks")) - 1),
+        flatten(transform(col("__ps"), p => sequence(p, p + lit(spanN - 1)))))))
+    println(f"""{"case":"scrub_speedup","x":${scrubOld / scrubNew}%.2f}""")
+    scrubDocs.unpersist()
+
+    // r7: case-when strategy, naive per-aggregate predicates vs the
+    // hoisted-predicate compilation (chunkedHoisted) — the full 2,080-
+    // feature reference spec over 4M cached reference-shaped rows, so
+    // the comparison is pure CPU (the macro bench reads parquet and is
+    // hostage to the storage regime). Both run the identical chunked
+    // plan shape (7 aggregated-state exchanges + stitch joins).
+    val spec = graft.features.FeatureSpec.reference
+    val trxTypes = typedLit(graft.model.Model.TrxTypes)
+    val trx = spark.range(0, 4000000).select(
+        pmod(col("id") * lit(2654435761L), lit(50000L)).as("customer_id"),
+        when(pmod(hash(col("id") * lit(3)), lit(4)) < 3, lit("DC"))
+          .otherwise(lit("CC")).as("card_type"),
+        element_at(trxTypes,
+          pmod(hash(col("id") * lit(5)), lit(13)).cast("int") + lit(1)).as("trx_type"),
+        when(pmod(hash(col("id") * lit(7)), lit(4)) < 1, lit("mobile"))
+          .otherwise(lit("web")).as("channel"),
+        (pmod(hash(col("id") * lit(11)), lit(990000)) / lit(100.0) + lit(100.0))
+          .as("trx_amnt"),
+        pmod(hash(col("id") * lit(13)), lit(730)).cast("long").as("t_minus"))
+      .persist()
+    trx.count()
+    val cwNaive = timeNoop("casewhen_naive")(graft.features.CaseWhenStrategy.chunked(
+      trx, spec, graft.features.CaseWhenStrategy.aggExprs(spec),
+      graft.features.CaseWhenStrategy.MaxSingleAggFeatures))
+    val cwHoisted = timeNoop("casewhen_hoisted")(
+      graft.features.CaseWhenStrategy.chunkedHoisted(
+        trx, spec, graft.features.CaseWhenStrategy.MaxSingleAggFeatures))
+    println(f"""{"case":"casewhen_hoist_speedup","x":${cwNaive / cwHoisted}%.2f}""")
+    trx.unpersist()
     spark.stop()
   }
 }

@@ -814,6 +814,26 @@ class LlmSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) == (("p q r s t u", 0)), "untouched doc passes through")
   }
 
+  test("boilerplate scrub: saturated, partial-tail and adjacent coverage (r7 interval union)") {
+    // the O(T·H)→O(T+H·n) rewrite must keep exact coverage semantics on
+    // the shapes that stress it: every-position hits (saturated doc),
+    // hits whose interval runs past the last token, and back-to-back
+    // intervals that must not swallow the token between/after them
+    val flood = (1 to 12).map(_ => "c1 c2 c3 c4 c5").mkString(" ")
+    val docs = Seq(
+      (0L, flood),                                  // fully boilerplate: all 60 tokens covered
+      (1L, s"head $flood tail"),                    // covered middle, 1-token edges survive
+      (2L, "c1 c2 c3 c4 c5 solo"),                  // hit at 0: positions 0..4 die, 5 lives
+      (3L, "z1 z2 z3 z4 z5 z6")                     // clean
+    ).toDF("doc_id", "text")
+    val out = Corpus.scrubDuplicateSpans(docs, "doc_id", "text", n = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(0L) == (("", 60)), s"saturated doc must empty out: ${out(0L)}")
+    assert(out(1L) == (("head tail", 60)), s"edges must survive: ${out(1L)}")
+    assert(out(2L) == (("solo", 5)), s"token after the interval survives: ${out(2L)}")
+    assert(out(3L) == (("z1 z2 z3 z4 z5 z6", 0)), "clean doc untouched")
+  }
+
   test("familiarity is the exact integer mean token probability; oov vs the count threshold") {
     val docs = Seq((0L, "a a b"), (1L, "a b c")).toDF("doc_id", "text")
     // corpus counts: a=3 b=2 c=1, T=6
