@@ -136,6 +136,42 @@ class EventsStreamSpec extends AnyFunSuite with SparkSpec {
       s"watermark should have advanced well into the 30-day span, got $wm")
   }
 
+  test("multi-batch interval join: watermark actually evicts join state; state stays bounded") {
+    // The state-size half of the stream_interval_join_mb story (r7,
+    // VERDICT r6 #8): per-batch StateOperatorProgress must show rows
+    // REMOVED by the watermark (not just "fewer than everything") and a
+    // peak state bounded below the total join input — the metrics twin
+    // of the committed plan dumps. Per-batch numbers for the sf0.01 run
+    // are committed as docs/bench/STREAM_STATE_r07.jsonl
+    // (tools.StreamStateEvidence).
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val sfDir = "/root/testdata/sf0.001"
+    val src = graft.queries.StreamingQueries.stageOrderedSource(
+      spark, sfDir, "specssj", copies = 1)
+    val chk = java.nio.file.Files.createTempDirectory("graft_ssj_chk").toString
+    val all = readEvents(spark, src, maxFilesPerTrigger = Some(1))
+    val q = intervalJoin(
+        all.filter(col("event_type") === "error"),
+        all.filter(col("event_type") === "click"), delay = "7 days")
+      .writeStream.format("memory").queryName("mb_ssj_state")
+      .option("checkpointLocation", chk)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val states = q.recentProgress.filter(_.numInputRows > 0)
+      .map(_.stateOperators.head)
+    assert(states.length >= 5, s"expected ~6 micro-batches, saw ${states.length}")
+    assert(states.map(_.numRowsRemoved).sum > 0,
+      "watermark must remove join state rows as batches advance")
+    val joinInput = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type").isin("error", "click")).count()
+    val peak = states.map(_.numRowsTotal).max
+    assert(peak < joinInput,
+      s"peak join state ($peak) must stay below total join input ($joinInput) — " +
+        "an unbounded buffer would hold everything")
+  }
+
   test("checkpoint recovery: a restarted query resumes exactly-once from the same checkpoint") {
     // Stop-and-restart against one checkpoint + file sink: the restarted
     // query must (a) not reprocess files already committed (no
