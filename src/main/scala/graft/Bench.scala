@@ -220,6 +220,18 @@ object Bench {
       }
       spark.catalog.clearCache()
 
+      // r7: boilerplate span scrub at corpus volume — DocGen plants ~5%
+      // boilerplate-flooded documents (hits ≈ tokens), the shape whose
+      // coverage check was O(T·H) before the r7 interval-union rewrite
+      // (53.7× on the saturated worst case, MICROBENCH_r07). This is the
+      // committed wall-time evidence that the operator holds at 10⁵⁺
+      // docs; n_tokens_removed pins that the scrub actually fired.
+      rs("scrub_boilerplate") = timed(
+        graft.llm.Corpus.scrubDuplicateSpans(docs, "doc_id", "text"))
+      counts("n_tokens_removed") = spark.read.parquet(s"$scratch/out")
+        .agg(org.apache.spark.sql.functions.sum(col("n_removed"))).head().getLong(0)
+      spark.catalog.clearCache()
+
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val cs = counts.map { case (k, v) => "\"" + k + "\":" + v }
