@@ -41,6 +41,43 @@ object PlanDumpR07 {
     dump("llm_decontaminate_scrub", llm.Decontamination.scrubSpans(
       docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text"))
 
+    // Connected-components round update (llm_dedup_clusters): the r7
+    // change removed the per-round convergence JOIN — before, `changed`
+    // re-joined `next` against `labels`; after, the self branch carries
+    // the previous label through the aggregate and `changed` is a
+    // filter over the just-checkpointed result. Both change-detection
+    // plans dumped (the label values are identical; see Dedup.scala).
+    if (suffix == "after" || suffix == "before") {
+      import org.apache.spark.sql.functions.{lit, min => fmin, max => fmax}
+      val pairs = llm.Dedup.minhashPairs(docs, "doc_id", "text")
+      val ids = docs.select(col("doc_id").cast("long").as("id")).distinct()
+      val edges = pairs
+        .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+        .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      val labels = ids.select(col("id"), col("id").as("label"))
+      val viaN = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val viaP = labels.as("x").join(labels.as("y"), col("x.label") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.label").as("label"))
+      if (suffix == "before") {
+        // r6 form: min-label aggregate, then changed = next JOIN labels
+        val next = labels.union(viaN).union(viaP)
+          .groupBy(col("id")).agg(fmin(col("label")).as("label"))
+        dump("llm_dedup_clusters", next.as("n").join(labels.as("p"), Seq("id"))
+          .filter(col("n.label") =!= col("p.label")))
+      } else {
+        // r7 form: the aggregate carries __old; changed = a plain filter
+        val self = labels.select(col("id"), col("label"), col("label").as("__old"))
+        val next = self
+          .union(viaN.select(col("id"), col("label"), lit(null).cast("long").as("__old")))
+          .union(viaP.select(col("id"), col("label"), lit(null).cast("long").as("__old")))
+          .groupBy(col("id"))
+          .agg(fmin(col("label")).as("label"), fmax(col("__old")).as("__old"))
+        dump("llm_dedup_clusters", next.filter(col("label") =!= col("__old")))
+      }
+      pairs.unpersist()
+    }
+
     // bucketed incremental dedup (llm_dedup_inc_bucketed's core plan)
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_plandump_r07")
     llm.Dedup.writeBandedIndex(
