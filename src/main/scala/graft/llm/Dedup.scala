@@ -428,32 +428,77 @@ object Dedup {
       bands: Int = 6, rowsPerBand: Int = 2,
       minJaccard: Double = 0.5,
       maxBucketSize: Int = 64): DataFrame = {
-    val all = index.select(col("id"), col("hs"), col("sig"))
-      .withColumn("__new", lit(false))
-      .union(signatureIndex(shard, idCol, textCol, bands, rowsPerBand)
-        .withColumn("__new", lit(true)))
+    val (result, caches) = incrementalPairsPlan(index, shard, idCol, textCol,
+      bands, rowsPerBand, minJaccard, maxBucketSize)
+    scoped(result, caches: _*)
+  }
+
+  /** The lazy plan behind [[incrementalPairs]] plus its scoped cache
+    * handles — split out so plan evidence (tools.PlanDumpR08) can dump
+    * the join skeleton without triggering the eager materialization.
+    */
+  private[graft] def incrementalPairsPlan(
+      index: DataFrame, shard: DataFrame,
+      idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int,
+      minJaccard: Double,
+      maxBucketSize: Int): (DataFrame, Seq[DataFrame]) = {
+    // r8 restructure (guide §2.3/§8): the r7 form unioned the whole
+    // index with the shard, PERSISTED the union (the corpus hs payload
+    // in cache — spills at volume, same failure mode the r8
+    // writeBandedIndex note records) and self-joined the full banded
+    // union — shuffling the (huge) index bands on BOTH join sides plus
+    // the census, to keep only shard-touching pairs afterwards. The
+    // daily-ingest asymmetry (shard << corpus) is knowledge the
+    // optimizer doesn't have, so encode it: this is exactly
+    // [[incrementalPairsBucketed]]'s algebra, over a plain parquet index
+    //
+    //   - union band census = index census + shard census, full-outer
+    //     summed (exact because ids are disjoint — the CONTRACT above);
+    //     the mega-bucket KEEP semi-join inverts into an anti-join
+    //     against the (bounded, broadcast) DROP set;
+    //   - shard-touching candidates split into shard x index (band
+    //     equi-join, index side streamed once, never self-joined) and
+    //     shard x shard (self-join of the small banded shard) — together
+    //     exactly the `a.__new OR b.__new` pairs of the r7 form;
+    //   - only the (small) shard signature frame is cached; the index
+    //     side is read per branch with column pruning — (id, sig) for
+    //     the band branches, (id, hs) for rescoring — never cached.
+    //
+    // Result-identical by the same argument DedupIndexSpec pins for the
+    // bucketed twin, and the oracle gate re-proves it from scratch.
+    val shardSig = signatureIndex(shard, idCol, textCol, bands, rowsPerBand)
       .persist()
-    val banded = all.select(col("id"), col("__new"),
+    val shardBands = shardSig.select(col("id"),
       explode(TextFunctions.lshBandKeysFromSig(col("sig"), bands, rowsPerBand)).as("band"))
       .persist()
-    val keep = banded.groupBy(col("band")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucketSize)
+    val idxBands = index.select(col("id"),
+      explode(TextFunctions.lshBandKeysFromSig(col("sig"), bands, rowsPerBand)).as("band"))
+    val censusI = idxBands.groupBy(col("band")).agg(count(lit(1)).as("__ni"))
+    val censusS = shardBands.groupBy(col("band")).agg(count(lit(1)).as("__ns"))
+    val drop = censusI.join(censusS, Seq("band"), "full_outer")
+      .select(col("band"),
+        (coalesce(col("__ni"), lit(0L)) + coalesce(col("__ns"), lit(0L))).as("__n"))
+      .filter(col("__n") > maxBucketSize)
       .select(col("band"))
-    val discriminative = banded.join(keep, Seq("band"), "left_semi")
-    val cands = discriminative.as("a")
-      .join(discriminative.as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id")
-          && (col("a.__new") || col("b.__new")))
+    val si = shardBands.join(broadcast(drop), Seq("band"), "left_anti")
+    val ii = idxBands.join(broadcast(drop), Seq("band"), "left_anti")
+    val candsIdx = si.as("s").join(ii.as("i"), col("s.band") === col("i.band"))
+      .select(least(col("s.id"), col("i.id")).as("id_a"),
+        greatest(col("s.id"), col("i.id")).as("id_b"))
+    val candsShard = si.as("a").join(si.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    scoped(
-      cands
-        .join(all.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-        .join(all.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          TextFunctions.jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
-        .filter(col("jaccard") >= lit(minJaccard)),
-      all, banded)
+    val cands = candsIdx.union(candsShard).distinct()
+    val allHs = index.select(col("id"), col("hs"))
+      .union(shardSig.select(col("id"), col("hs")))
+    val rescored = cands
+      .join(allHs.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(allHs.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextFunctions.jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
+      .filter(col("jaccard") >= lit(minJaccard))
+    (rescored, Seq(shardSig, shardBands))
   }
 
   /** The ingest ACTION on top of [[incrementalPairs]]: the arriving
@@ -519,25 +564,42 @@ object Dedup {
     */
   def writeBandedIndex(index: DataFrame, name: String, pathRoot: String,
       buckets: Int = 32, bands: Int = 6, rowsPerBand: Int = 2): Unit = {
-    // Persist across the two table writes: both plans consume the same
-    // signature frame, and without the cache the (md5 shingle-hash +
-    // MinHash) tree — i.e. a full corpus text scan — runs once PER WRITE
-    // (guide §2.4: don't compute things twice). The cache holds only
-    // (id, hs, sig), never text.
-    val idx = index.persist()
-    try {
-      idx.select(col("id"),
-          explode(TextFunctions.lshBandKeysFromSig(col("sig"), bands, rowsPerBand))
-            .as("band"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(buckets, "band").sortBy("band")
-        .option("path", s"$pathRoot/bands")
-        .saveAsTable(s"${name}_bands")
-      idx.write.mode("overwrite").format("parquet")
-        .bucketBy(buckets, "id")
-        .option("path", s"$pathRoot/sigs")
-        .saveAsTable(s"${name}_sigs")
-    } finally idx.unpersist(blocking = false)
+    // One corpus text scan total, NO cache of the signature frame (r8).
+    // The r7 form persisted (id, hs, sig) across the two writes; at
+    // corpus volume the hs payload blows the storage pool and the cache
+    // spills to disk — BENCH_dedup_r07 measured the build at 177.5 s vs
+    // 23.0 s for the same corpus without the persist (guide §5: caching
+    // competes with execution memory; never cache the heavy payload).
+    // Instead the sigs table is written FIRST, straight off the
+    // signature plan (the one text scan), and the bands table derives
+    // from reading BACK the just-written sigs table pruned to (id, sig)
+    // — so the md5/MinHash tree still runs exactly once and nothing
+    // bulky is ever cached. A caller-persisted input frame is left
+    // untouched (ADVICE r7).
+    //
+    // Both writes repartition onto the writer's own bucket-id expression
+    // (pmod(hash(col), buckets) — murmur3, the same placement the
+    // bucketed writer stamps per row; see TableMaintenance.
+    // compactBucketedTable for why a plain repartition(n, bucketCols)
+    // would be ELIMINATED by the write planner). Every bucket then lands
+    // in exactly one task: `buckets` files per table written in
+    // parallel, instead of tasks x buckets small files with a per-task
+    // sort over the full slice (guide §6).
+    val spark = index.sparkSession
+    index.repartition(buckets, pmod(hash(col("id")), lit(buckets)))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "id")
+      .option("path", s"$pathRoot/sigs")
+      .saveAsTable(s"${name}_sigs")
+    spark.table(s"${name}_sigs")
+      .select(col("id"),
+        explode(TextFunctions.lshBandKeysFromSig(col("sig"), bands, rowsPerBand))
+          .as("band"))
+      .repartition(buckets, pmod(hash(col("band")), lit(buckets)))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band").sortBy("band")
+      .option("path", s"$pathRoot/bands")
+      .saveAsTable(s"${name}_bands")
   }
 
   /** [[incrementalPairs]] against a [[writeBandedIndex]] layout —

@@ -76,10 +76,10 @@ object FormatQueries {
         s.read.parquet(p)
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 2).as("total"))
+            round(sum(col("o_totalprice")) + lit(1e-6), 2).as("total"))
       },
       Some("""SELECT o_orderpriority, count(*) AS n,
-             | round(sum(o_totalprice), 2) AS total
+             | round(sum(o_totalprice) + 1e-6, 2) AS total
              |FROM read_parquet('/root/repo/target/fmt/sf0.01/orders_zstd/*.parquet')
              |GROUP BY o_orderpriority""".stripMargin)),
 
@@ -96,10 +96,10 @@ object FormatQueries {
         src.write.mode("overwrite").parquet(twin)
         s.read.orc(p)
           .groupBy(col("o_orderstatus"))
-          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")) + lit(1e-6), 2).as("total"))
       },
       Some(s"""SELECT o_orderstatus, count(*) AS n,
-              | round(sum(o_totalprice), 2) AS total
+              | round(sum(o_totalprice) + 1e-6, 2) AS total
               |FROM read_parquet('$OracleRoot/orders_orc_twin/*.parquet')
               |GROUP BY o_orderstatus""".stripMargin)),
 
@@ -132,10 +132,10 @@ object FormatQueries {
             col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n_items"),
-            round(sum(col("l_extendedprice")), 2).as("revenue"))
+            round(sum(col("l_extendedprice")) + lit(1e-6), 2).as("revenue"))
       },
       Some(s"""SELECT o_orderpriority, count(*) AS n_items,
-              | round(sum(l_extendedprice), 2) AS revenue
+              | round(sum(l_extendedprice) + 1e-6, 2) AS revenue
               |FROM read_parquet('$OracleRoot/orders_bucketed/*.parquet') o
               |JOIN read_parquet('$OracleRoot/lineitem_bucketed/*.parquet') l
               | ON o.o_orderkey = l.l_orderkey

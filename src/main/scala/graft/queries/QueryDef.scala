@@ -33,12 +33,18 @@ object QueryDef {
     * and scratch-path names (ADVICE r6): the previous
     * `math.abs(dir.hashCode)` stayed negative for Int.MinValue (invalid
     * in an identifier) and let distinct dirs collide, overwriting each
-    * other's index tables under interleaved gate runs. A sanitized
-    * dir-derived slug is unique per dir and always a valid identifier
-    * fragment.
+    * other's index tables under interleaved gate runs. The sanitized
+    * fragment keeps the name readable; the appended md5 prefix of the
+    * RAW dir string makes the slug collision-free even for dirs that
+    * differ only in non-alphanumeric characters (ADVICE r7 — e.g.
+    * sf0.01 vs sf0_01 sanitize identically).
     */
-  def dirSlug(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "")
+  def dirSlug(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    dir.replaceAll("[^A-Za-z0-9]", "_").replaceAll("^_+", "") + "_" + digest
+  }
 
   private def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}

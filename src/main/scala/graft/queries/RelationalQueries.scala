@@ -21,15 +21,15 @@ object RelationalQueries {
       (s, dir) => table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          round(sum(col("l_quantity")) + lit(1e-6), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) + lit(1e-6), 2).as("revenue"),
           round(avg(col("l_extendedprice")), 4).as("avg_price"),
           round(min(col("l_discount")), 6).as("min_disc"),
           round(max(col("l_tax")), 6).as("max_tax"),
           count(lit(1)).as("n_rows")),
       Some("""SELECT l_returnflag, l_linestatus,
-             | round(sum(l_quantity), 2) AS sum_qty,
-             | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             | round(sum(l_quantity) + 1e-6, 2) AS sum_qty,
+             | round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-6, 2) AS revenue,
              | round(avg(l_extendedprice), 4) AS avg_price,
              | round(min(l_discount), 6) AS min_disc,
              | round(max(l_tax), 6) AS max_tax,
@@ -52,9 +52,9 @@ object RelationalQueries {
       (s, dir) => table(s, dir, "orders")
         .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "inner")
         .groupBy(col("c_mktsegment"))
-        .agg(round(sum(col("o_totalprice")), 2).as("segment_value"),
+        .agg(round(sum(col("o_totalprice")) + lit(1e-6), 2).as("segment_value"),
           count(lit(1)).as("n_orders")),
-      Some("""SELECT c_mktsegment, round(sum(o_totalprice), 2) AS segment_value,
+      Some("""SELECT c_mktsegment, round(sum(o_totalprice) + 1e-6, 2) AS segment_value,
              | count(*) AS n_orders
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment""".stripMargin)),
@@ -68,10 +68,10 @@ object RelationalQueries {
         .join(table(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
         .join(table(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) + lit(1e-6), 2).as("revenue"),
           count(lit(1)).as("n_items")),
       Some("""SELECT r_name, n_name,
-             | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             | round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-6, 2) AS revenue,
              | count(*) AS n_items
              |FROM lineitem
              | JOIN orders ON l_orderkey = o_orderkey
@@ -87,12 +87,12 @@ object RelationalQueries {
         .groupBy(col("o_orderpriority"))
         .agg(
           sum(when(col("o_orderstatus") === "F", lit(1L)).otherwise(lit(0L))).as("n_finished"),
-          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))), 2).as("finished_value"),
+          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))) + lit(1e-6), 2).as("finished_value"),
           round(avg(when(col("o_orderstatus") === "O", col("o_totalprice"))), 4).as("open_avg"),
           round(max(when(col("o_orderstatus") === "P", col("o_totalprice"))), 2).as("pending_max")),
       Some("""SELECT o_orderpriority,
              | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
-             | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS finished_value,
+             | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) + 1e-6, 2) AS finished_value,
              | round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS open_avg,
              | round(max(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS pending_max
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
@@ -108,13 +108,13 @@ object RelationalQueries {
             .otherwise("jumbo"))
         .groupBy(col("qty_bucket"), col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
-          round(sum(col("l_extendedprice")), 2).as("bucket_value")),
+          round(sum(col("l_extendedprice")) + lit(1e-6), 2).as("bucket_value")),
       Some("""SELECT CASE WHEN l_quantity <= 10 THEN 'small'
              |  WHEN l_quantity <= 25 THEN 'medium'
              |  WHEN l_quantity <= 40 THEN 'large'
              |  ELSE 'jumbo' END AS qty_bucket,
              | l_returnflag, count(*) AS n_rows,
-             | round(sum(l_extendedprice), 2) AS bucket_value
+             | round(sum(l_extendedprice) + 1e-6, 2) AS bucket_value
              |FROM lineitem GROUP BY 1, 2""".stripMargin)),
 
     // A5: pivot with known values (skips the distinct-values scan,
@@ -124,7 +124,7 @@ object RelationalQueries {
       (s, dir) => table(s, dir, "lineitem")
         .groupBy(col("l_linestatus"))
         .pivot(col("l_returnflag"), Seq("A", "N", "R"))
-        .agg(round(sum(col("l_quantity")), 2).as("qty"), count(lit(1)).as("n"))
+        .agg(round(sum(col("l_quantity")) + lit(1e-6), 2).as("qty"), count(lit(1)).as("n"))
         // coalesce the counts: a pivot cell with no rows is NULL on the
         // Spark side but 0 from the oracle's count(CASE WHEN ...) — real
         // TPC-H data has empty (linestatus, returnflag) cells.
@@ -132,11 +132,11 @@ object RelationalQueries {
           col("N_qty"), coalesce(col("N_n"), lit(0L)).as("N_n"),
           col("R_qty"), coalesce(col("R_n"), lit(0L)).as("R_n")),
       Some("""SELECT l_linestatus,
-             | round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A_qty,
+             | round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) + 1e-6, 2) AS A_qty,
              | count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS A_n,
-             | round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N_qty,
+             | round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) + 1e-6, 2) AS N_qty,
              | count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS N_n,
-             | round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R_qty,
+             | round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) + 1e-6, 2) AS R_qty,
              | count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS R_n
              |FROM lineitem GROUP BY l_linestatus""".stripMargin)),
 
@@ -237,7 +237,7 @@ object RelationalQueries {
     QueryDef("q14_rollup_arith",
       (s, dir) => table(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(round(sum(col("l_quantity")), 2).as("q"),
+        .agg(round(sum(col("l_quantity")) + lit(1e-6), 2).as("q"),
           round(min(col("l_extendedprice")), 2).as("pmin"),
           round(max(col("l_extendedprice")), 2).as("pmax"))
         .select(col("l_orderkey"),
@@ -247,7 +247,7 @@ object RelationalQueries {
       Some("""SELECT l_orderkey, round(q + pmin + pmax, 2) AS combined,
              | round(greatest(q, pmin, pmax), 2) AS g,
              | round(least(q, pmin, pmax), 2) AS l
-             |FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS q,
+             |FROM (SELECT l_orderkey, round(sum(l_quantity) + 1e-6, 2) AS q,
              |   round(min(l_extendedprice), 2) AS pmin,
              |   round(max(l_extendedprice), 2) AS pmax
              |  FROM lineitem GROUP BY l_orderkey)""".stripMargin)),
@@ -258,9 +258,9 @@ object RelationalQueries {
       (s, dir) => table(s, dir, "events")
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("total_value")),
+          round(sum(col("value")) + lit(1e-6), 2).as("total_value")),
       Some("""SELECT date_trunc('day', ts) AS day, event_type,
-             | count(*) AS n_events, round(sum(value), 2) AS total_value
+             | count(*) AS n_events, round(sum(value) + 1e-6, 2) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // JSON extraction from the events props column (get_json_object).
@@ -276,9 +276,9 @@ object RelationalQueries {
     QueryDef("q17_rollup",
       (s, dir) => table(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty")),
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")) + lit(1e-6), 2).as("qty")),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-             | round(sum(l_quantity), 2) AS qty
+             | round(sum(l_quantity) + 1e-6, 2) AS qty
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
     // J2: full-outer stitch of two aggregates on a shared key with
@@ -311,13 +311,13 @@ object RelationalQueries {
         table(s, dir, "orders").createOrReplaceTempView("orders_v")
         table(s, dir, "customer").createOrReplaceTempView("customer_v")
         s.sql("""SELECT c_mktsegment, o_orderstatus,
-                |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+                |  count(*) AS n, round(sum(o_totalprice) + 1e-6, 2) AS total
                 |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
                 |WHERE o_totalprice > 100000.0
                 |GROUP BY c_mktsegment, o_orderstatus""".stripMargin)
       },
       Some("""SELECT c_mktsegment, o_orderstatus,
-             | count(*) AS n, round(sum(o_totalprice), 2) AS total
+             | count(*) AS n, round(sum(o_totalprice) + 1e-6, 2) AS total
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE o_totalprice > 100000.0
              |GROUP BY c_mktsegment, o_orderstatus""".stripMargin)),
@@ -328,9 +328,9 @@ object RelationalQueries {
       (s, dir) => graft.operators.SkewJoin
         .saltedCountSum(table(s, dir, "lineitem"), "l_returnflag", "l_quantity", 8)
         .select(col("l_returnflag"), col("n_rows"),
-          round(col("sum_value"), 2).as("sum_value")),
+          round(col("sum_value") + lit(1e-6), 2).as("sum_value")),
       Some("""SELECT l_returnflag, count(*) AS n_rows,
-             | round(sum(l_quantity), 2) AS sum_value
+             | round(sum(l_quantity) + 1e-6, 2) AS sum_value
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // Salted JOIN (SkewJoin.saltedJoin, the q21 companion): the skewed
@@ -347,10 +347,10 @@ object RelationalQueries {
         graft.operators.SkewJoin.saltedJoin(li, ord, "okey", 8)
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n_items"),
-            round(sum(col("l_extendedprice")), 2).as("revenue"))
+            round(sum(col("l_extendedprice")) + lit(1e-6), 2).as("revenue"))
       },
       Some("""SELECT o_orderstatus, count(*) AS n_items,
-             | round(sum(l_extendedprice), 2) AS revenue
+             | round(sum(l_extendedprice) + 1e-6, 2) AS revenue
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderstatus""".stripMargin)),
 
@@ -468,7 +468,7 @@ object RelationalQueries {
       (s, dir) => table(s, dir, "events")
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("session_value"))
+          round(sum(col("value")) + lit(1e-6), 2).as("session_value"))
         .select(col("user_id"), col("w.start").as("session_start"),
           col("n_events"), col("session_value")),
       Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
@@ -480,7 +480,7 @@ object RelationalQueries {
              | y AS (SELECT user_id, ts, value,
              |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM x)
              |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-             | round(sum(value), 2) AS session_value
+             | round(sum(value) + 1e-6, 2) AS session_value
              |FROM y GROUP BY user_id, sid""".stripMargin)),
 
     // Exact percentiles (sort-based aggregate; both engines interpolate
@@ -550,10 +550,10 @@ object RelationalQueries {
       (s, dir) => table(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-          round(sum(col("l_quantity")), 2).as("qty")),
+          round(sum(col("l_quantity")) + lit(1e-6), 2).as("qty")),
       Some("""SELECT l_returnflag, l_linestatus,
              | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-             | count(*) AS n, round(sum(l_quantity), 2) AS qty
+             | count(*) AS n, round(sum(l_quantity) + 1e-6, 2) AS qty
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin))
   )
 }

@@ -241,7 +241,7 @@ object StreamingQueries {
         res.select(col("day"), col("event_type"), col("n_events"), col("total_value"))
       },
       Some("""SELECT date_trunc('day', ts) AS day, event_type,
-             | count(*) AS n_events, round(sum(value), 2) AS total_value
+             | count(*) AS n_events, round(sum(value) + 1e-6, 2) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // Stream-stream interval join: the q23 range correlation with BOTH
@@ -289,7 +289,7 @@ object StreamingQueries {
              | y AS (SELECT user_id, ts, value,
              |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM x)
              |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-             | round(sum(value), 2) AS session_value
+             | round(sum(value) + 1e-6, 2) AS session_value
              |FROM y GROUP BY user_id, sid""".stripMargin)),
 
     // Stream-static dimension join: streamed events enriched with the

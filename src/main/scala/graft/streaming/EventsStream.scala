@@ -50,8 +50,13 @@ object EventsStream {
     events
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      // +1e-6 nudge (repo rounding convention, r8 — the last two raw
+      // round(sum) sites): the incremental sum accumulates in arrival
+      // order while a batch oracle sums in arbitrary order, so a ulp
+      // difference at a .xx5 boundary could flip the rounded digit;
+      // the shared epsilon shifts both engines off the tie.
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value"))
+        round(sum(col("value")) + lit(1e-6), 2).as("total_value"))
       .select(col("win.start").as("day"), col("event_type"),
         col("n_events"), col("total_value"))
 
@@ -76,8 +81,9 @@ object EventsStream {
     events
       .withWatermark("ts", "1 day")
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      // +1e-6 nudge: see windowedCounts
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("session_value"))
+        round(sum(col("value")) + lit(1e-6), 2).as("session_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("session_value"))
 

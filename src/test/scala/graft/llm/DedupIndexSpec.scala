@@ -45,6 +45,18 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
     } finally { viaUnion.unpersist(); viaBucket.unpersist() }
   }
 
+  test("bucketed index build writes at most one file per bucket (no task x bucket sprawl)") {
+    built
+    // r8: both writes repartition onto the writer's bucket-id expression
+    // before bucketBy, so each bucket is written by exactly one task —
+    // without it every write task emits a file into each bucket it
+    // touches (tasks x buckets small files; guide §6).
+    val bandFiles = graft.sources.TableMaintenance.dataFileCount(spark, s"${name}_bands")
+    val sigFiles = graft.sources.TableMaintenance.dataFileCount(spark, s"${name}_sigs")
+    assert(bandFiles <= 8, s"bands table has $bandFiles files for 8 buckets")
+    assert(sigFiles <= 8, s"sigs table has $sigFiles files for 8 buckets")
+  }
+
   test("index band census aggregates with zero exchanges") {
     built
     spark.conf.set("spark.sql.adaptive.enabled", "false")
