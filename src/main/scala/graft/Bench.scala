@@ -297,13 +297,17 @@ object Bench {
         case "bigshape" => (DataGen.Config(10000L, 730, 1), Seq(
           "ref_auto" -> AutoStrategy, "ref_aggregator" -> AggregatorStrategy,
           "ref_pivot" -> PivotRollupStrategy))
-        // The `big` preset at 1/4 the customers (VERDICT r7 #7): the full
-        // 730x1-day hive layout AND a real data volume (~4.5B rows,
-        // ~29 GB parquet — full big is ~117 GB, beyond this host's free
-        // disk), so partition discovery, the t_minus<=720 pruned scan and
-        // the strategy aggregates are exercised at the big GEOMETRY with
-        // volume. Row subsample only — shape identical to DataGen.Big.
-        case "bigslice" => (DataGen.Config(250000L, 730, 1), Seq(
+        // The `big` preset at 1/10 the customers (VERDICT r7 #7): the
+        // full 730x1-day hive layout at medium's proven row volume
+        // (~1.8B rows, ~12 GB parquet). Full big is ~117 GB and a 1/4
+        // slice died on datagen spill (each generator task covers all
+        // 730 part_col values, so the partitioned write sorts the whole
+        // task payload; >65 GB of lz4 spill exceeded this host's free
+        // disk). 1/10 keeps the partition-count stress — 730-dir
+        // discovery, per-partition writes, the t_minus<=720 pruned scan
+        // — at a volume the host can actually sort. Row subsample only;
+        // shape identical to DataGen.Big.
+        case "bigslice" => (DataGen.Config(100000L, 730, 1), Seq(
           "ref_auto" -> AutoStrategy, "ref_aggregator" -> AggregatorStrategy,
           "ref_pivot" -> PivotRollupStrategy))
         case other => sys.error(s"unknown SPARK_GRAFT_REF_SCALE '$other'")

@@ -476,11 +476,18 @@ object Dedup {
       explode(TextFunctions.lshBandKeysFromSig(col("sig"), bands, rowsPerBand)).as("band"))
     val censusI = idxBands.groupBy(col("band")).agg(count(lit(1)).as("__ni"))
     val censusS = shardBands.groupBy(col("band")).agg(count(lit(1)).as("__ns"))
+    // persisted: the DROP set feeds three anti-join branches (si twice
+    // via the shard self-join, ii once) and exchange reuse across
+    // branches is not guaranteed pre-runtime -- without the cache the
+    // full-outer census (including the index band scan) replicates per
+    // branch. The frame is bounded (hot bands only) and released with
+    // the other scoped caches.
     val drop = censusI.join(censusS, Seq("band"), "full_outer")
       .select(col("band"),
         (coalesce(col("__ni"), lit(0L)) + coalesce(col("__ns"), lit(0L))).as("__n"))
       .filter(col("__n") > maxBucketSize)
       .select(col("band"))
+      .persist()
     val si = shardBands.join(broadcast(drop), Seq("band"), "left_anti")
     val ii = idxBands.join(broadcast(drop), Seq("band"), "left_anti")
     val candsIdx = si.as("s").join(ii.as("i"), col("s.band") === col("i.band"))
@@ -498,7 +505,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         TextFunctions.jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= lit(minJaccard))
-    (rescored, Seq(shardSig, shardBands))
+    (rescored, Seq(shardSig, shardBands, drop))
   }
 
   /** The ingest ACTION on top of [[incrementalPairs]]: the arriving

@@ -33,6 +33,21 @@ object PlanDumpR08 {
       println(s"wrote $name ($suffix)")
     }
 
+    // "big" mode: dump the pruned strategy scan over the 730-partition
+    // bigslice layout (run AFTER the SPARK_GRAFT_REF_SCALE=bigslice bench
+    // generated it) — the partition-pruning evidence VERDICT r7 #7 asks
+    // for: a FileSourceScan over 730 hive partitions whose PushedFilters
+    // carries LessThanOrEqual(t_minus,720).
+    if (suffix == "big") {
+      val bigPath = s"${graft.queries.RefWorkload.dataRoot}/bigslice"
+      require(new java.io.File(s"$bigPath/_SUCCESS").exists(),
+        s"run the bigslice bench first ($bigPath missing)")
+      dump("ref_big_pivot_pruned", graft.features.PivotRollupStrategy(
+        spark.read.parquet(bigPath), graft.features.FeatureSpec.reference))
+      spark.stop()
+      return
+    }
+
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val shard = docs.filter(col("doc_id") % 10 === 0)
